@@ -1,0 +1,90 @@
+"""Unconditional ShapeNet (PointFlow) airplane config.
+
+Mirrors gecco-torch/example_configs/shapenet_airplane_unconditional.py:32-82
+on the TPU stack: 6 layers, feature_dim 384, 64 inducers, LogUniform sigma_max
+165, EMA, bf16 compute. Run: ``python -m gecco_tpu.train <this file>``.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from gecco_tpu import Diffusion, GaussianReparam, LogUniformSchedule
+from gecco_tpu.benchmark import BenchmarkCallback
+from gecco_tpu.data import dataloader
+from gecco_tpu.data.shapenet_pointflow import ShapeNetPointFlow
+from gecco_tpu.metrics import SupervisedMetric
+from gecco_tpu.models import SetTransformer, UnconditionalPointNetwork
+from gecco_tpu.train import train as train_fn
+
+DATA_ROOT = os.environ.get("SHAPENET_PF_ROOT", "/data/shapenet-pointflow")
+CATEGORY = "02691156"  # airplane
+N_POINTS = 2048
+BATCH = 48
+NUM_STEPS = 1_000_000
+
+# dataset statistics for GaussianReparam (fit from data at startup in
+# find_hyperparameters.ipynb fashion; defaults match ShapeNet scale)
+REPARAM_MEAN = (0.0, 0.0, 0.0)
+REPARAM_STD = (0.35, 0.35, 0.35)
+
+
+def make_model(key):
+    bk, nk = jax.random.split(key)
+    backbone = SetTransformer.init(
+        bk,
+        n_layers=6,
+        feature_dim=384,
+        num_inducers=64,
+        embed_dim=1,
+        num_heads=8,
+        mlp_blowup=2,
+        compute_dtype=jnp.bfloat16,
+    )
+    network = UnconditionalPointNetwork.init(nk, backbone, feature_dim=384)
+    schedule = LogUniformSchedule(
+        sigma_max=165.0, sigma_min=0.002, n_solver_steps=128
+    )
+    reparam = GaussianReparam.init(REPARAM_MEAN, REPARAM_STD)
+    return Diffusion.init(network, schedule, reparam=reparam)
+
+
+def make_train_loader():
+    dataset = ShapeNetPointFlow(DATA_ROOT, CATEGORY, "train", n_points=N_POINTS)
+    return dataloader(dataset, batch_size=BATCH, num_steps=NUM_STEPS)
+
+
+def make_val_loader():
+    dataset = ShapeNetPointFlow(DATA_ROOT, CATEGORY, "val", n_points=N_POINTS)
+    return dataloader(dataset, batch_size=BATCH, fixed_sampler=True)
+
+
+def train(make_model, train_loader, val_loader, save_path):
+    callbacks = []
+    try:
+        callbacks.append(
+            BenchmarkCallback.from_loader(
+                make_val_loader(), n_examples=256, save_path=save_path
+            )
+        )
+    except Exception as e:
+        print(f"benchmark callback disabled: {e}")
+
+    return train_fn(
+        model=make_model,
+        train_dataloader=train_loader,
+        val_dataloader=val_loader,
+        save_path=save_path,
+        save_every=10_000,
+        num_steps=NUM_STEPS,
+        metrics=(SupervisedMetric(),),
+        optimizer=optax.chain(
+            optax.clip_by_global_norm(1.0),
+            optax.adabelief(learning_rate=3e-4),
+        ),
+        ema_alpha=0.999,
+        n_validation_batches=8,
+        callbacks=callbacks,
+    )

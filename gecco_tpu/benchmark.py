@@ -1,0 +1,227 @@
+"""Generative-quality benchmark: 1-NN accuracy, MMD, COV.
+
+Parity with gecco-jax/src/gecco_jax/benchmark.py:21-231, with the pairwise
+distance computation done as one jitted block-tiled device loop instead of a
+host-side python double loop over ``np.array_split`` blocks.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from functools import partial
+from typing import Callable, Iterable, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gecco_tpu.metrics import (
+    chamfer_distance,
+    chamfer_distance_squared,
+    sinkhorn_emd,
+)
+
+__all__ = ["BenchmarkCallback", "batched_pairwise_distance", "one_nn_accuracy", "mmd", "cov"]
+
+
+def batched_pairwise_distance(
+    a: np.ndarray,  # [S, N, D]
+    b: np.ndarray,  # [T, N, D]
+    distance_fn: Callable,
+    block_size: int = 16,
+) -> np.ndarray:
+    """S x T matrix of set-to-set distances, tiled in ``block_size`` chunks
+    (benchmark.py:21-39)."""
+    dist = jax.jit(
+        jax.vmap(jax.vmap(distance_fn, in_axes=(None, 0)), in_axes=(0, None))
+    )
+    s_blocks = int(math.ceil(a.shape[0] / block_size))
+    t_blocks = int(math.ceil(b.shape[0] / block_size))
+    rows = []
+    for a_block in np.array_split(a, s_blocks):
+        row = [
+            np.asarray(dist(jnp.asarray(a_block), jnp.asarray(b_block)))
+            for b_block in np.array_split(b, t_blocks)
+        ]
+        rows.append(np.concatenate(row, axis=1))
+    return np.concatenate(rows, axis=0)
+
+
+def one_nn_accuracy(ss_dist: np.ndarray, sd_dist: np.ndarray, dd_dist: np.ndarray) -> float:
+    """1-NN two-sample classification accuracy (benchmark.py:140-150).
+    0.5 is ideal (samples indistinguishable from data)."""
+    dist_m = np.concatenate(
+        [
+            np.concatenate([ss_dist, sd_dist], axis=1),
+            np.concatenate([sd_dist.T, dd_dist], axis=1),
+        ],
+        axis=0,
+    )
+    n = ss_dist.shape[0]
+    np.fill_diagonal(dist_m, float("inf"))
+    amin = dist_m.argmin(axis=0)
+    one_nn_1 = amin[:n] <= n
+    one_nn_2 = amin[n:] > n
+    return float(np.concatenate([one_nn_1, one_nn_2]).mean())
+
+
+def mmd(sd_dist: np.ndarray) -> float:
+    """Minimum matching distance (benchmark.py:152)."""
+    return float(sd_dist.min(axis=0).min())
+
+
+def cov(sd_dist: np.ndarray) -> float:
+    """Coverage: fraction of data clouds that are some sample's nearest
+    neighbour (benchmark.py:155-156)."""
+    return float(np.unique(sd_dist.argmin(axis=1)).size / sd_dist.shape[1])
+
+
+def extract_data(loader: Iterable, n_examples: Optional[int]) -> np.ndarray:
+    collected, total = [], 0
+    for batch in loader:
+        pts = np.asarray(batch.points)
+        collected.append(pts)
+        total += pts.shape[0]
+        if n_examples is not None and total >= n_examples:
+            break
+    return np.concatenate(collected, axis=0)[:n_examples]
+
+
+class BenchmarkCallback:
+    """Trainer callback computing 1-NN/MMD/COV over full sample-vs-data
+    distance matrices, checkpointing the best-1NN model
+    (benchmark.py:55-231)."""
+
+    def __init__(
+        self,
+        data: np.ndarray,  # [S, N, D]
+        batch_size: int = 64,
+        tag_prefix: str = "benchmark",
+        rng_seed: int = 42,
+        block_size: int = 16,
+        distance_fn: Union[str, Callable] = chamfer_distance,
+        save_path: Optional[str] = None,
+    ):
+        self.data = np.asarray(data)
+        self.n_points = self.data.shape[1]
+        self.batch_size = batch_size
+        self.tag_prefix = tag_prefix
+        self.n_batches = int(math.ceil(self.data.shape[0] / batch_size))
+        self.rng_seed = rng_seed
+        self.block_size = block_size
+
+        if isinstance(distance_fn, str):
+            distance_fn = {
+                "chamfer": chamfer_distance,
+                "chamfer_squared": chamfer_distance_squared,
+                "emd": partial(sinkhorn_emd, epsilon=0.1),
+            }[distance_fn]
+        self.distance_fn_name = getattr(
+            distance_fn, "func", distance_fn
+        ).__name__
+        self.distance_fn = partial(
+            batched_pairwise_distance,
+            distance_fn=distance_fn,
+            block_size=block_size,
+        )
+        self.dd_dist = self.distance_fn(self.data, self.data)
+
+        if save_path is not None:
+            save_path = os.path.join(
+                save_path, "benchmark-checkpoints", self.distance_fn_name
+            )
+            os.makedirs(save_path, exist_ok=True)
+        self.save_path = save_path
+        self.lowest_1nn = float("inf")
+
+    @classmethod
+    def from_loader(cls, loader, n_examples=None, **kwargs) -> "BenchmarkCallback":
+        data = extract_data(loader, n_examples)
+        return cls(data, batch_size=loader.batch_size, **kwargs)
+
+    def sample_from_model(self, model) -> np.ndarray:
+        key = jax.random.PRNGKey(self.rng_seed)
+        sample_fn = jax.jit(
+            lambda m, k: m.sample(k, (self.batch_size, self.n_points, self.data.shape[-1]))
+        )
+        samples = []
+        for k in jax.random.split(key, self.n_batches):
+            samples.append(np.asarray(sample_fn(model, k)))
+        return np.concatenate(samples, axis=0)[: self.data.shape[0]]
+
+    def call_without_logging(self, samples: np.ndarray):
+        ss_dist = self.distance_fn(samples, samples)
+        sd_dist = self.distance_fn(samples, self.data)
+
+        scalars = {
+            f"{self.tag_prefix}/1-nn-acc/{self.distance_fn_name}": one_nn_accuracy(
+                ss_dist, sd_dist, self.dd_dist
+            ),
+            f"{self.tag_prefix}/mmd/{self.distance_fn_name}": mmd(sd_dist),
+            f"{self.tag_prefix}/cov/{self.distance_fn_name}": cov(sd_dist),
+        }
+        plots = self._make_plots(ss_dist, sd_dist)
+        return scalars, plots
+
+    def _make_plots(self, ss_dist, sd_dist):
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+        except Exception:
+            return {}
+
+        fig, ax = plt.subplots(tight_layout=True)
+        kw = dict(histtype="step", bins=np.linspace(0, self.dd_dist.max() * 1.3, 20))
+        ax.hist(self.dd_dist.flatten(), color="r", label="data-data", **kw)
+        ax.hist(ss_dist.flatten(), color="b", label="sample-sample", **kw)
+        ax.hist(sd_dist.flatten(), color="g", label="sample-data", **kw)
+        fig.legend()
+
+        dist_m = np.concatenate(
+            [
+                np.concatenate([ss_dist, sd_dist], axis=1),
+                np.concatenate([sd_dist.T, self.dd_dist], axis=1),
+            ],
+            axis=0,
+        )
+        fig2, ax2 = plt.subplots(tight_layout=True, figsize=(6, 6))
+        ax2.imshow(
+            dist_m + np.diag(np.full(dist_m.shape[0], np.inf)),
+            vmax=self.dd_dist.max(),
+        )
+        ax2.set_xticks([ss_dist.shape[0]])
+        ax2.set_yticks([ss_dist.shape[0]])
+
+        return {
+            f"{self.tag_prefix}/histograms/{self.distance_fn_name}": fig,
+            f"{self.tag_prefix}/dist-mat/{self.distance_fn_name}": fig2,
+        }
+
+    def __call__(self, model, logger, epoch: int):
+        samples = self.sample_from_model(model)
+        scalars, plots = self.call_without_logging(samples)
+
+        for key, value in scalars.items():
+            logger.add_scalar(key, scalar_value=value, global_step=epoch)
+        for key, value in plots.items():
+            logger.add_figure(key, figure=value, global_step=epoch)
+
+        if self.save_path is None:
+            return
+        _1nn = scalars[f"{self.tag_prefix}/1-nn-acc/{self.distance_fn_name}"]
+        if not _1nn < self.lowest_1nn:
+            return
+        print(f"{_1nn} improves over {self.lowest_1nn} (1-NN).")
+        self.lowest_1nn = _1nn
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(
+            os.path.abspath(os.path.join(self.save_path, str(epoch))),
+            model,
+            force=True,
+        )
+        ckptr.wait_until_finished()

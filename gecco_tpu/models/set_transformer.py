@@ -1,0 +1,337 @@
+"""Induced set attention transformer, batched and scan-compiled.
+
+The reference implements this twice: per-example equinox modules
+(gecco-jax/src/gecco_jax/models/set_transformer.py:17-249) and batched torch
+modules with an inducer-state cache for upsampling
+(gecco-torch/src/gecco_torch/models/set_transformer.py:14-217). This is the
+union, TPU-first:
+
+- batched ``[B, N, C]`` throughout; fused kv projection (torch style) so the
+  big N-token matmuls hit the MXU in one pass;
+- attention is only ever rectangular: pool (I x N) and unpool (N x I), with
+  I ~ 64 inducers — O(N·I), never O(N^2) (SURVEY.md §5.7);
+- layers are *stacked* and iterated with ``jax.lax.scan`` so compile time and
+  HLO size are depth-independent;
+- the inducer-state cache (``h``) used by the completion/upsampling sampler is
+  threaded through the scan (torch set_transformer.py:92-117,198-216);
+- activations run in ``compute_dtype`` (bf16 by default on TPU) with fp32
+  softmax/norm statistics and fp32 master weights.
+
+Skip-connection output projections are scaled by 0.1 at init
+(torch set_transformer.py:150-153).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from gecco_tpu.models.activation import GaussianActivation
+from gecco_tpu.models.mlp import MLP
+from gecco_tpu.models.normalization import AdaGN
+from gecco_tpu.ops.attention import rect_attention
+from gecco_tpu.utils import Linear, module, static, splitter, stack_modules
+
+__all__ = ["AttentionPool", "Unpool", "Broadcast", "BroadcastingLayer", "SetTransformer"]
+
+
+def _split_heads(x: jnp.ndarray, num_heads: int) -> jnp.ndarray:
+    # [B, N, C] -> [B, H, N, C/H]
+    b, n, c = x.shape
+    return x.reshape(b, n, num_heads, c // num_heads).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
+    # [B, H, N, D] -> [B, N, H*D]
+    b, h, n, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, n, h * d)
+
+
+@module
+class AttentionPool:
+    """Cross-attention from learnable inducer queries to the input set.
+
+    jax ref: models/set_transformer.py:17-102; torch ref: :14-65 (fused kv).
+    """
+
+    inducers: jax.Array  # [H, I, D] learnable queries, N(0, 1) init
+    kv_proj: Linear  # C -> 2C, no bias
+    out_proj: Linear  # C -> C, no bias
+    num_heads: int = static()
+
+    @classmethod
+    def init(
+        cls, key: jax.Array, feature_dim: int, num_heads: int, num_inducers: int
+    ) -> "AttentionPool":
+        assert feature_dim % num_heads == 0, (feature_dim, num_heads)
+        ikey, kvkey, okey = jax.random.split(key, 3)
+        inducers = jax.random.normal(
+            ikey, (num_heads, num_inducers, feature_dim // num_heads)
+        )
+        return cls(
+            inducers=inducers,
+            kv_proj=Linear.init(kvkey, feature_dim, 2 * feature_dim, use_bias=False),
+            out_proj=Linear.init(okey, feature_dim, feature_dim, use_bias=False),
+            num_heads=num_heads,
+        )
+
+    def __call__(self, kv: jnp.ndarray, attn_impl: str = "xla") -> jnp.ndarray:
+        # kv: [B, N, C] -> [B, I, C]
+        k, v = jnp.split(self.kv_proj(kv), 2, axis=-1)
+        k = _split_heads(k, self.num_heads)
+        v = _split_heads(v, self.num_heads)
+        q = jnp.broadcast_to(
+            self.inducers.astype(kv.dtype)[None],
+            (kv.shape[0], *self.inducers.shape),
+        )
+        attn = rect_attention(q, k, v, impl=attn_impl)
+        return self.out_proj(_merge_heads(attn))
+
+
+@module
+class Unpool:
+    """Standard multi-head cross-attention: set queries against inducer
+    keys/values (jax ref uses eqx.nn.MultiheadAttention, no biases;
+    models/set_transformer.py:144-157)."""
+
+    q_proj: Linear
+    k_proj: Linear
+    v_proj: Linear
+    out_proj: Linear
+    num_heads: int = static()
+
+    @classmethod
+    def init(cls, key: jax.Array, feature_dim: int, num_heads: int) -> "Unpool":
+        assert feature_dim % num_heads == 0
+        keys = splitter(key)
+        mk = lambda: Linear.init(next(keys), feature_dim, feature_dim, use_bias=False)
+        return cls(
+            q_proj=mk(), k_proj=mk(), v_proj=mk(), out_proj=mk(), num_heads=num_heads
+        )
+
+    def __call__(
+        self, x: jnp.ndarray, h: jnp.ndarray, attn_impl: str = "xla"
+    ) -> jnp.ndarray:
+        # x: [B, N, C] queries, h: [B, I, C] keys/values -> [B, N, C]
+        q = _split_heads(self.q_proj(x), self.num_heads)
+        k = _split_heads(self.k_proj(h), self.num_heads)
+        v = _split_heads(self.v_proj(h), self.num_heads)
+        attn = rect_attention(q, k, v, impl=attn_impl)
+        return self.out_proj(_merge_heads(attn))
+
+
+@module
+class Broadcast:
+    """pool -> AdaGN -> MLP -> AdaGN -> unpool (jax ref
+    models/set_transformer.py:105-157). When an inducer state ``h`` is given,
+    the pool side is skipped entirely — the mechanism behind cached
+    upsampling (torch set_transformer.py:92-117)."""
+
+    pool: AttentionPool
+    norm_1: AdaGN
+    mlp: MLP
+    norm_2: AdaGN
+    unpool: Unpool
+
+    @classmethod
+    def init(
+        cls,
+        key: jax.Array,
+        feature_dim: int,
+        num_inducers: int,
+        embed_dim: int,
+        num_heads: int = 8,
+        mlp_blowup: int = 2,
+        activation: Any = None,
+    ) -> "Broadcast":
+        keys = splitter(key)
+        return cls(
+            pool=AttentionPool.init(next(keys), feature_dim, num_heads, num_inducers),
+            norm_1=AdaGN.init(next(keys), feature_dim, embed_dim),
+            mlp=MLP.init(
+                next(keys),
+                feature_dim,
+                feature_dim,
+                width_size=mlp_blowup * feature_dim,
+                depth=1,
+                activation=activation or GaussianActivation.init(),
+            ),
+            norm_2=AdaGN.init(next(keys), feature_dim, embed_dim),
+            unpool=Unpool.init(next(keys), feature_dim, num_heads),
+        )
+
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        embed: jnp.ndarray,
+        h: Optional[jnp.ndarray] = None,
+        attn_impl: str = "xla",
+    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        if h is None:
+            h = self.pool(x, attn_impl=attn_impl)
+            h = self.norm_1(h, embed)
+            h = self.mlp(h)
+            h = self.norm_2(h, embed)
+        return self.unpool(x, h, attn_impl=attn_impl), h
+
+
+@module
+class BroadcastingLayer:
+    """Pre-norm residual transformer layer built on Broadcast
+    (jax ref models/set_transformer.py:160-217)."""
+
+    broadcast_norm: AdaGN
+    broadcast: Broadcast
+    mlp_norm: AdaGN
+    mlp: MLP
+
+    @classmethod
+    def init(
+        cls,
+        key: jax.Array,
+        feature_dim: int,
+        num_inducers: int,
+        embed_dim: int,
+        num_heads: int = 8,
+        mlp_blowup: int = 2,
+        activation: Any = None,
+        skip_scale: float = 0.1,
+    ) -> "BroadcastingLayer":
+        keys = splitter(key)
+        broadcast = Broadcast.init(
+            next(keys),
+            feature_dim,
+            num_inducers,
+            embed_dim,
+            num_heads=num_heads,
+            mlp_blowup=mlp_blowup,
+            activation=activation,
+        )
+        mlp = MLP.init(
+            next(keys),
+            feature_dim,
+            feature_dim,
+            width_size=mlp_blowup * feature_dim,
+            depth=1,
+            activation=activation or GaussianActivation.init(),
+        )
+        if skip_scale != 1.0:
+            # damp the residual branches at init (torch ref :150-153)
+            broadcast = broadcast.replace(
+                unpool=broadcast.unpool.replace(
+                    out_proj=broadcast.unpool.out_proj.replace(
+                        weight=broadcast.unpool.out_proj.weight * skip_scale
+                    )
+                )
+            )
+            out = mlp.layers[-1]
+            mlp = mlp.replace(
+                layers=mlp.layers[:-1] + (out.replace(weight=out.weight * skip_scale),)
+            )
+        norm = lambda: AdaGN.init(next(keys), feature_dim, embed_dim)
+        return cls(broadcast_norm=norm(), broadcast=broadcast, mlp_norm=norm(), mlp=mlp)
+
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        embed: jnp.ndarray,
+        h: Optional[jnp.ndarray] = None,
+        attn_impl: str = "xla",
+    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        y = self.broadcast_norm(x, embed)
+        x_b, h = self.broadcast(y, embed, h=h, attn_impl=attn_impl)
+        x = x + x_b
+        y = self.mlp_norm(x, embed)
+        x = x + self.mlp(y)
+        return x, h
+
+
+@module
+class SetTransformer:
+    """A stack of broadcasting layers iterated with ``lax.scan``.
+
+    jax ref models/set_transformer.py:220-249 (python loop over modules);
+    torch ref set_transformer.py:171-216 (cache plumbing).
+
+    ``__call__(features [B,N,C], embed [B,E])`` returns ``[B,N,C]``; pass
+    ``return_h=True`` to also get stacked inducer states ``[L,B,I,C]``, or
+    ``hs=...`` to reuse them (pool side skipped — cached upsampling).
+    """
+
+    layers: BroadcastingLayer  # leaf arrays stacked with leading [L] axis
+    n_layers: int = static()
+    compute_dtype: Any = static(default=jnp.bfloat16)
+    attn_impl: str = static(default="xla")
+
+    @classmethod
+    def init(
+        cls,
+        key: jax.Array,
+        n_layers: int,
+        feature_dim: int,
+        num_inducers: int,
+        embed_dim: int,
+        num_heads: int = 8,
+        mlp_blowup: int = 2,
+        activation: Any = None,
+        skip_scale: float = 0.1,
+        compute_dtype: Any = jnp.bfloat16,
+        attn_impl: str = "xla",
+    ) -> "SetTransformer":
+        keys = jax.random.split(key, n_layers)
+        layers = [
+            BroadcastingLayer.init(
+                k,
+                feature_dim,
+                num_inducers,
+                embed_dim,
+                num_heads=num_heads,
+                mlp_blowup=mlp_blowup,
+                activation=activation,
+                skip_scale=skip_scale,
+            )
+            for k in keys
+        ]
+        return cls(
+            layers=stack_modules(layers),
+            n_layers=n_layers,
+            compute_dtype=compute_dtype,
+            attn_impl=attn_impl,
+        )
+
+    def __call__(
+        self,
+        features: jnp.ndarray,
+        embed: jnp.ndarray,
+        hs: Optional[jnp.ndarray] = None,
+        return_h: bool = False,
+    ):
+        in_dtype = features.dtype
+        x = features.astype(self.compute_dtype)
+        embed = embed.astype(self.compute_dtype)
+        impl = self.attn_impl
+
+        if hs is None:
+
+            def body(x, layer):
+                x, h = layer(x, embed, attn_impl=impl)
+                return x, (h if return_h else None)
+
+            x, stored = jax.lax.scan(body, x, self.layers)
+        else:
+
+            def body_cached(x, layer_and_h):
+                layer, h = layer_and_h
+                x, _ = layer(x, embed, h=h.astype(x.dtype), attn_impl=impl)
+                return x, None
+
+            x, stored = jax.lax.scan(body_cached, x, (self.layers, hs))
+            stored = hs if return_h else None
+
+        x = x.astype(in_dtype)
+        if return_h:
+            return x, stored
+        return x

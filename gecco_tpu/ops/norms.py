@@ -1,0 +1,48 @@
+"""Functional normalisation ops over token sets, batched and fp32-stable.
+
+Semantics match the reference's channels-first equinox GroupNorm/LayerNorm as
+used through ``MoveChannels`` (gecco-jax/src/gecco_jax/models/normalization.py):
+for a token set ``[N, C]`` the reference swaps to ``[C, N]`` and applies
+``eqx.nn.GroupNorm``, whose statistics are computed over each group's channels
+AND all N positions — i.e. GroupNorm here is a *set-level* norm, like CNN
+GroupNorm reducing over spatial dims. We keep exactly that reduction but stay
+channels-last ``[..., N, C]`` (the natural TPU layout).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+__all__ = ["group_norm", "layer_norm"]
+
+
+def group_norm(
+    x: jnp.ndarray, num_groups: int = 32, eps: float = 1e-5
+) -> jnp.ndarray:
+    """Set-level group normalisation.
+
+    ``x: [..., N, C]``; statistics per (batch, group) over all N tokens and
+    the C/num_groups channels in the group. No affine parameters (the
+    reference composes affine via AdaGN scale/bias instead).
+    """
+    *lead, n, c = x.shape
+    if c % num_groups != 0:
+        raise ValueError(f"channels {c} not divisible by groups {num_groups}")
+    orig_dtype = x.dtype
+    xf = x.astype(jnp.float32).reshape(*lead, n, num_groups, c // num_groups)
+    mean = xf.mean(axis=(-3, -1), keepdims=True)
+    var = xf.var(axis=(-3, -1), keepdims=True)
+    normed = (xf - mean) / jnp.sqrt(var + eps)
+    return normed.reshape(*lead, n, c).astype(orig_dtype)
+
+
+def layer_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """Per-token layer normalisation over the channel axis, no affine.
+
+    ``x: [..., C]``.
+    """
+    orig_dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(axis=-1, keepdims=True)
+    var = xf.var(axis=-1, keepdims=True)
+    return ((xf - mean) / jnp.sqrt(var + eps)).astype(orig_dtype)

@@ -1,0 +1,246 @@
+"""Bijective reparameterisations between data space and diffusion space.
+
+Parity with gecco-jax/src/gecco_jax/models/reparam.py:13-307 and
+gecco-torch/src/gecco_torch/reparam.py:14-201, redesigned batched:
+
+- all maps take ``[..., N, 3]`` and broadcast over leading axes;
+- log-abs-det-Jacobians are computed *analytically* (closed form) instead of
+  the reference's per-point ``jax.jacrev``+``slogdet`` (reparam.py:27-48) or
+  per-dimension ``jax.grad`` loops (reparam.py:90-112) — both reparams here
+  are elementwise-diagonal, so the ladj is a sum of elementwise log-derivs;
+  exactness is checked against autodiff in tests.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax.lax import stop_gradient
+
+from gecco_tpu.geometry import project_points, unproject_points
+from gecco_tpu.utils import module, static
+
+__all__ = ["Reparam", "NoReparam", "GaussianReparam", "UVLReparam"]
+
+
+@module
+class Reparam:
+    """Base: identity (reparam.py:13-24)."""
+
+    def data_to_diffusion(self, data, ctx):
+        del ctx
+        return data
+
+    def diffusion_to_data(self, diff, ctx):
+        del ctx
+        return diff
+
+    def ladj_data_to_diffusion(self, data, ctx):
+        """log|det J| of data->diffusion, summed per example: [..., N, D] -> [...]."""
+        del ctx
+        return jnp.zeros(data.shape[:-2])
+
+    def ladj_diffusion_to_data(self, diff, ctx):
+        del ctx
+        return jnp.zeros(diff.shape[:-2])
+
+
+NoReparam = Reparam
+
+
+@module
+class GaussianReparam(Reparam):
+    """Per-axis affine normalisation (reparam.py:121-169)."""
+
+    mean: jax.Array  # [D]
+    std: jax.Array  # [D]
+
+    @classmethod
+    def init(cls, mean, std) -> "GaussianReparam":
+        return cls(
+            mean=jnp.asarray(mean, jnp.float32), std=jnp.asarray(std, jnp.float32)
+        )
+
+    @classmethod
+    def from_data(cls, points) -> "GaussianReparam":
+        """Fit mean/std from a [..., N, D] sample of the dataset."""
+        pts = jnp.asarray(points, jnp.float32).reshape(-1, points.shape[-1])
+        return cls(mean=pts.mean(axis=0), std=pts.std(axis=0))
+
+    def data_to_diffusion(self, data, ctx):
+        del ctx
+        mean = stop_gradient(self.mean).astype(data.dtype)
+        std = stop_gradient(self.std).astype(data.dtype)
+        return (data - mean) / std
+
+    def diffusion_to_data(self, diff, ctx):
+        del ctx
+        mean = stop_gradient(self.mean).astype(diff.dtype)
+        std = stop_gradient(self.std).astype(diff.dtype)
+        return diff * std + mean
+
+    def ladj_data_to_diffusion(self, data, ctx):
+        del ctx
+        n = data.shape[-2]
+        ladj = -jnp.log(stop_gradient(self.std)).sum() * n
+        return jnp.broadcast_to(ladj, data.shape[:-2])
+
+    def ladj_diffusion_to_data(self, diff, ctx):
+        return -self.ladj_data_to_diffusion(diff, ctx)
+
+    def diffusion_to_hw(self, diff, K):
+        """Reproject diffusion-space points to (h, w) image coords for the
+        projective feature lookup (reparam.py:150-157).
+
+        ``diff: [..., N, 3]``, ``K: [..., 3, 3]`` -> ``[..., N, 2]``.
+        """
+        data = self.diffusion_to_data(diff, None)
+        wh = project_points(data, K[..., None, :, :])
+        return wh[..., ::-1]
+
+
+@module
+class UVLReparam(Reparam):
+    """Camera-frustum reparameterisation (reparam.py:172-295).
+
+    Chain (per point): xyz --project--> (h, w, depth) in [0,1]^2 x R+
+    --(arctanh, arctanh, log)--> R^3 --normalise--> uvl.
+
+    The Jacobian of the full chain factorises into (a) the xyz->hwd camera
+    projection and (b) the elementwise hwd->uvl map. For (a) we use one
+    ``jax.jacrev`` per point like the reference (the projection mixes axes);
+    for (b) the log-derivatives are closed-form.
+    """
+
+    logit_scale: float = static(default=1.1)
+    uvl_mean: jax.Array = None
+    uvl_std: jax.Array = None
+
+    @classmethod
+    def init(
+        cls,
+        uvl_mean=(1.1159e-03, -3.6975e-03, 1.3792e00),
+        uvl_std=(0.5989, 0.6476, 1.0569),
+        logit_scale: float = 1.1,
+    ) -> "UVLReparam":
+        return cls(
+            logit_scale=logit_scale,
+            uvl_mean=jnp.asarray(uvl_mean, jnp.float32),
+            uvl_std=jnp.asarray(uvl_std, jnp.float32),
+        )
+
+    # -- elementwise [0,1] <-> R maps (reparam.py:187-201) --
+
+    def _real_to_01(self, r):
+        return (jnp.tanh(r) * self.logit_scale + 1.0) / 2
+
+    def _01_to_real(self, s):
+        return jnp.arctanh((2 * s - 1.0) / self.logit_scale)
+
+    # -- xyz <-> hwd (reparam.py:203-227) --
+
+    def xyz_to_hwd(self, xyz, K):
+        # xyz: [..., N, 3], K: [..., 3, 3]
+        wh = project_points(xyz, K[..., None, :, :])
+        hw = wh[..., ::-1]
+        d = jnp.linalg.norm(xyz, axis=-1, keepdims=True)
+        return jnp.concatenate([hw, d], axis=-1)
+
+    def hwd_to_xyz(self, hwd, K):
+        hw = hwd[..., :2]
+        wh = hw[..., ::-1]
+        d = hwd[..., 2]
+        return unproject_points(wh, d, K[..., None, :, :], normalized=True)
+
+    # -- hwd <-> uvl (reparam.py:229-265) --
+
+    def hwd_to_uvl(self, hwd):
+        mean = stop_gradient(self.uvl_mean)
+        std = stop_gradient(self.uvl_std)
+        uvl = jnp.stack(
+            [
+                self._01_to_real(hwd[..., 0]),
+                self._01_to_real(hwd[..., 1]),
+                jnp.log(hwd[..., 2]),
+            ],
+            axis=-1,
+        )
+        return (uvl - mean) / std
+
+    def uvl_to_hwd(self, uvl_norm):
+        mean = stop_gradient(self.uvl_mean)
+        std = stop_gradient(self.uvl_std)
+        uvl = uvl_norm * std + mean
+        return jnp.stack(
+            [
+                self._real_to_01(uvl[..., 0]),
+                self._real_to_01(uvl[..., 1]),
+                jnp.exp(uvl[..., 2]),
+            ],
+            axis=-1,
+        )
+
+    # -- public API --
+
+    def data_to_diffusion(self, data, ctx):
+        return self.hwd_to_uvl(self.xyz_to_hwd(data, ctx.K))
+
+    def diffusion_to_data(self, diff, ctx):
+        return self.hwd_to_xyz(self.uvl_to_hwd(diff), ctx.K)
+
+    def diffusion_to_hw(self, diff, K):
+        """uvl -> (h, w) in [0, 1]^2 (reparam.py:291-295)."""
+        del K
+        return self.uvl_to_hwd(diff)[..., :2]
+
+    # -- log-abs-det Jacobians --
+
+    def _ladj_hwd_to_uvl(self, hwd):
+        """Elementwise part, closed form. [..., N, 3] -> [...]."""
+        std = stop_gradient(self.uvl_std)
+        h, w, d = hwd[..., 0], hwd[..., 1], hwd[..., 2]
+        # d/ds arctanh((2s-1)/a) = (2/a) / (1 - ((2s-1)/a)^2)
+        a = self.logit_scale
+
+        def d_01_to_real(s):
+            z = (2 * s - 1.0) / a
+            return (2.0 / a) / (1.0 - z**2)
+
+        ladj = (
+            jnp.log(d_01_to_real(h))
+            + jnp.log(d_01_to_real(w))
+            - jnp.log(d)  # d/dd log(d) = 1/d
+            - jnp.log(std).sum()
+        )
+        return ladj.sum(axis=-1)
+
+    def _ladj_xyz_to_hwd(self, xyz, K):
+        """Camera-projection part via per-point jacrev (reparam.py:27-48
+        pattern, but batched with a single nested vmap)."""
+
+        def single(p, k):
+            jac = jax.jacrev(lambda q: self._xyz_to_hwd_single(q, k))(p)
+            return jnp.linalg.slogdet(jac)[1]
+
+        flat_xyz = xyz.reshape(-1, xyz.shape[-2], 3)
+        flat_k = jnp.broadcast_to(K, (*xyz.shape[:-2], 3, 3)).reshape(-1, 3, 3)
+        ladj = jax.vmap(
+            lambda pts, k: jax.vmap(lambda p: single(p, k))(pts).sum()
+        )(flat_xyz, flat_k)
+        return ladj.reshape(xyz.shape[:-2])
+
+    def _xyz_to_hwd_single(self, xyz, K):
+        wh = project_points(xyz, K)
+        hw = wh[::-1]
+        d = jnp.linalg.norm(xyz).reshape(1)
+        return jnp.concatenate([hw, d])
+
+    def ladj_data_to_diffusion(self, data, ctx):
+        hwd = self.xyz_to_hwd(data, ctx.K)
+        return self._ladj_xyz_to_hwd(data, ctx.K) + self._ladj_hwd_to_uvl(hwd)
+
+    def ladj_diffusion_to_data(self, diff, ctx):
+        data = self.diffusion_to_data(diff, ctx)
+        return -self.ladj_data_to_diffusion(data, ctx)

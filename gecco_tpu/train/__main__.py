@@ -1,0 +1,65 @@
+"""Training CLI: ``python -m gecco_tpu.train <config.py>``.
+
+Parity with gecco-jax/src/gecco_jax/train/__main__.py:10-60: validates the
+config contract, records provenance metadata, launches training with
+checkpoints/tensorboard next to the config file.
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import json
+import os
+import subprocess
+
+from gecco_tpu.config import load_config
+
+
+def execute(config_path: str):
+    config_path = os.path.abspath(config_path)
+    save_path = os.path.dirname(config_path)
+    config = load_config(config_path)
+
+    for attribute in ("make_train_loader", "make_val_loader", "make_model", "train"):
+        if not hasattr(config, attribute):
+            raise AssertionError(
+                f"Config {config_path!r} is missing the callable {attribute!r}"
+            )
+
+    train_loader = config.make_train_loader()
+    val_loader = config.make_val_loader()
+
+    metadata = {"date": datetime.datetime.utcnow().isoformat()}
+    try:
+        metadata["git-hash"] = (
+            subprocess.check_output(
+                ["git", "rev-parse", "HEAD"],
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+                stderr=subprocess.DEVNULL,
+            )
+            .decode()
+            .strip()
+        )
+    except Exception:
+        pass
+    with open(os.path.join(save_path, "metadata.json"), "w") as f:
+        json.dump(metadata, f)
+
+    config.train(
+        config.make_model,
+        train_loader,
+        val_loader,
+        save_path,
+    )
+
+
+def main():
+    parser = argparse.ArgumentParser(description="Train a gecco_tpu model")
+    parser.add_argument("config", help="path to a .py config file")
+    args = parser.parse_args()
+    execute(args.config)
+
+
+if __name__ == "__main__":
+    main()

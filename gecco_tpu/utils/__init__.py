@@ -1,0 +1,19 @@
+from gecco_tpu.utils.modules import (
+    Linear,
+    count_parameters,
+    module,
+    stack_modules,
+    static,
+    unstack_module,
+)
+from gecco_tpu.utils.prng import splitter
+
+__all__ = [
+    "Linear",
+    "count_parameters",
+    "module",
+    "stack_modules",
+    "static",
+    "unstack_module",
+    "splitter",
+]

@@ -1,0 +1,115 @@
+"""Metric correctness tests (ref: gecco-jax/src/gecco_jax/metrics.py,
+benchmark.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gecco_tpu.benchmark import (
+    batched_pairwise_distance,
+    cov,
+    mmd,
+    one_nn_accuracy,
+)
+from gecco_tpu.metrics import (
+    chamfer_distance,
+    scipy_emd,
+    sinkhorn_emd,
+)
+
+
+def test_chamfer_brute_force():
+    a = jax.random.normal(jax.random.PRNGKey(0), (8, 3))
+    b = jax.random.normal(jax.random.PRNGKey(1), (8, 3))
+    cd = float(chamfer_distance(a, b))
+    an, bn = np.asarray(a), np.asarray(b)
+    d = np.linalg.norm(an[:, None] - bn[None, :], axis=-1)
+    expected = (d.min(0).mean() + d.min(1).mean()) / 2
+    np.testing.assert_allclose(cd, expected, rtol=1e-5)
+
+
+def test_chamfer_identity_zero():
+    # fp32 einsum-based distances carry ~1e-4 noise near zero (the clamped
+    # sqrt of catastrophic cancellation) — same property as the reference.
+    a = jax.random.normal(jax.random.PRNGKey(2), (16, 3))
+    assert float(chamfer_distance(a, a)) < 1e-3
+
+
+def test_chamfer_batched():
+    a = jax.random.normal(jax.random.PRNGKey(3), (4, 8, 3))
+    b = jax.random.normal(jax.random.PRNGKey(4), (4, 8, 3))
+    cd = chamfer_distance(a, b)
+    assert cd.shape == (4,)
+    np.testing.assert_allclose(
+        float(cd[0]), float(chamfer_distance(a[0], b[0])), rtol=1e-5
+    )
+
+
+def test_scipy_emd_exact_on_permutation():
+    """EMD of a cloud against a permutation of itself is zero."""
+    a = jax.random.normal(jax.random.PRNGKey(5), (16, 3))
+    perm = jax.random.permutation(jax.random.PRNGKey(6), 16)
+    assert float(scipy_emd(a, a[perm])) < 1e-3
+
+
+def test_scipy_emd_matches_bruteforce_assignment():
+    from scipy.optimize import linear_sum_assignment
+
+    a = np.random.default_rng(0).normal(size=(10, 3)).astype(np.float32)
+    b = np.random.default_rng(1).normal(size=(10, 3)).astype(np.float32)
+    d = np.linalg.norm(a[:, None] - b[None], axis=-1)
+    r, c = linear_sum_assignment(d)
+    expected = d[r, c].mean()
+    np.testing.assert_allclose(
+        float(scipy_emd(jnp.asarray(a), jnp.asarray(b))), expected, rtol=1e-4
+    )
+
+
+def test_sinkhorn_emd_close_to_exact():
+    """Small-epsilon Sinkhorn approximates the exact EMD."""
+    a = jax.random.normal(jax.random.PRNGKey(7), (24, 3))
+    b = jax.random.normal(jax.random.PRNGKey(8), (24, 3)) + 0.5
+    exact = float(scipy_emd(a, b))
+    approx = float(sinkhorn_emd(a, b, epsilon=0.01, n_iters=500))
+    np.testing.assert_allclose(approx, exact, rtol=0.05)
+
+
+def test_one_nn_ideal_is_half():
+    """Samples drawn from the data distribution => 1-NN accuracy ~ 0.5."""
+    rng = np.random.default_rng(0)
+    samples = rng.normal(size=(64, 32, 3)).astype(np.float32)
+    data = rng.normal(size=(64, 32, 3)).astype(np.float32)
+    ss = batched_pairwise_distance(samples, samples, chamfer_distance, 16)
+    sd = batched_pairwise_distance(samples, data, chamfer_distance, 16)
+    dd = batched_pairwise_distance(data, data, chamfer_distance, 16)
+    acc = one_nn_accuracy(ss, sd, dd)
+    assert 0.3 < acc < 0.7, acc
+
+
+def test_one_nn_disjoint_is_one():
+    rng = np.random.default_rng(1)
+    samples = rng.normal(size=(32, 16, 3)).astype(np.float32)
+    data = rng.normal(size=(32, 16, 3)).astype(np.float32) + 10.0
+    ss = batched_pairwise_distance(samples, samples, chamfer_distance, 16)
+    sd = batched_pairwise_distance(samples, data, chamfer_distance, 16)
+    dd = batched_pairwise_distance(data, data, chamfer_distance, 16)
+    assert one_nn_accuracy(ss, sd, dd) > 0.95
+
+
+def test_mmd_and_cov():
+    sd = np.array([[1.0, 5.0], [4.0, 0.5]])
+    assert mmd(sd) == 0.5
+    # sample 0 -> data 0, sample 1 -> data 1: full coverage
+    assert cov(sd) == 1.0
+    sd2 = np.array([[1.0, 5.0], [0.9, 6.0]])
+    assert cov(sd2) == 0.5
+
+
+def test_batched_pairwise_matches_direct():
+    a = np.random.default_rng(2).normal(size=(10, 8, 3)).astype(np.float32)
+    m = batched_pairwise_distance(a, a, chamfer_distance, block_size=3)
+    direct = np.zeros((10, 10))
+    for i in range(10):
+        for j in range(10):
+            direct[i, j] = float(chamfer_distance(jnp.asarray(a[i]), jnp.asarray(a[j])))
+    np.testing.assert_allclose(m, direct, rtol=1e-3, atol=1e-4)
