@@ -1,8 +1,15 @@
 from gecco_tpu.data.loader import (
+    ConcatDataset,
     ConcatenatedSampler,
     DataLoader,
     FixedSampler,
     dataloader,
 )
 
-__all__ = ["ConcatenatedSampler", "DataLoader", "FixedSampler", "dataloader"]
+__all__ = [
+    "ConcatDataset",
+    "ConcatenatedSampler",
+    "DataLoader",
+    "FixedSampler",
+    "dataloader",
+]

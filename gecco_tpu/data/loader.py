@@ -21,7 +21,32 @@ from typing import Iterator, Optional, Sequence
 import jax
 import numpy as np
 
-__all__ = ["ConcatenatedSampler", "FixedSampler", "DataLoader", "dataloader"]
+__all__ = [
+    "ConcatenatedSampler",
+    "FixedSampler",
+    "DataLoader",
+    "dataloader",
+    "ConcatDataset",
+]
+
+
+class ConcatDataset:
+    """Concatenation of map-style datasets (replaces
+    torch.utils.data.ConcatDataset used by the reference loaders)."""
+
+    def __init__(self, datasets: Sequence):
+        self.datasets = list(datasets)
+        self.cumulative_sizes = np.cumsum([len(d) for d in self.datasets]).tolist()
+
+    def __len__(self):
+        return self.cumulative_sizes[-1] if self.cumulative_sizes else 0
+
+    def __getitem__(self, index: int):
+        if index < 0:
+            index += len(self)
+        dataset_idx = int(np.searchsorted(self.cumulative_sizes, index, side="right"))
+        prev = 0 if dataset_idx == 0 else self.cumulative_sizes[dataset_idx - 1]
+        return self.datasets[dataset_idx][index - prev]
 
 
 class ConcatenatedSampler:

@@ -11,6 +11,7 @@ channels-last ``[..., N, C]`` (the natural TPU layout).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 __all__ = ["group_norm", "layer_norm"]
@@ -29,11 +30,22 @@ def group_norm(
     if c % num_groups != 0:
         raise ValueError(f"channels {c} not divisible by groups {num_groups}")
     orig_dtype = x.dtype
-    xf = x.astype(jnp.float32).reshape(*lead, n, num_groups, c // num_groups)
-    mean = xf.mean(axis=(-3, -1), keepdims=True)
-    var = xf.var(axis=(-3, -1), keepdims=True)
-    normed = (xf - mean) / jnp.sqrt(var + eps)
-    return normed.reshape(*lead, n, c).astype(orig_dtype)
+    per_group = c // num_groups
+    xf = x.astype(jnp.float32)
+    # lane-aligned formulation: reduce over tokens first (contiguous C lanes),
+    # then fold the per-channel sums into groups — avoids reducing over a
+    # per_group-wide (non-128-aligned) trailing axis of the full tensor
+    s1 = xf.sum(axis=-2)  # [..., C]
+    s2 = (xf * xf).sum(axis=-2)  # [..., C]
+    g1 = s1.reshape(*lead, num_groups, per_group).sum(axis=-1)  # [..., G]
+    g2 = s2.reshape(*lead, num_groups, per_group).sum(axis=-1)
+    count = n * per_group
+    mean = g1 / count
+    var = g2 / count - mean**2
+    inv = jax.lax.rsqrt(jnp.maximum(var, 0.0) + eps)
+    mean_c = jnp.repeat(mean, per_group, axis=-1)[..., None, :]  # [..., 1, C]
+    inv_c = jnp.repeat(inv, per_group, axis=-1)[..., None, :]
+    return ((xf - mean_c) * inv_c).astype(orig_dtype)
 
 
 def layer_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:

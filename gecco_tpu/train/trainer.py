@@ -132,29 +132,37 @@ class Trainer:
 
     # -- checkpointing (training.py:224-287) --
 
-    def _state(self):
-        return {
-            "model": self.model,
-            "ema": self.ema_model,
-            "opt": self.opt_state,
-        }
-
     def save(self, dirname: str, step: int):
+        """Three separate trees — model / ema / opt — mirroring the
+        reference's model.eqx / ema.eqx / opt.eqx layout (training.py:224-241)
+        so inference can restore just the EMA weights."""
         path = os.path.abspath(os.path.join(self.save_path, dirname))
         if os.path.exists(path):
             shutil.rmtree(path)
-        self._ckptr.save(os.path.join(path, "state"), self._state())
+        for name, tree in (
+            ("model", self.model),
+            ("ema", self.ema_model),
+            ("opt", self.opt_state),
+        ):
+            self._ckptr.save(os.path.join(path, name), tree)
         self._ckptr.wait_until_finished()
         with open(os.path.join(path, "meta.json"), "w") as f:
             json.dump({"step": step}, f)
 
     def load(self, dirname: str):
         path = os.path.abspath(dirname)
-        abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, self._state())
-        restored = self._ckptr.restore(os.path.join(path, "state"), abstract)
-        self.model = restored["model"]
-        self.ema_model = restored["ema"]
-        self.opt_state = restored["opt"]
+        for name, tree in (
+            ("model", self.model),
+            ("ema", self.ema_model),
+            ("opt", self.opt_state),
+        ):
+            abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, tree)
+            restored = self._ckptr.restore(os.path.join(path, name), abstract)
+            setattr(
+                self,
+                {"model": "model", "ema": "ema_model", "opt": "opt_state"}[name],
+                restored,
+            )
         print(f"Loaded from {dirname!r}.")
 
     def _init_opt_state(self):

@@ -1,0 +1,237 @@
+"""Conditional stack tests: ConvNeXt pyramid, projective lookup, RayNetwork.
+
+The weight-converter parity test builds a minimal torch ConvNeXt forward
+(torchvision semantics, hand-written here since torchvision is absent) and
+checks our jax forward reproduces it through converted weights."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gecco_tpu.models.convnext import (
+    ConvNeXt,
+    ConvNeXtExtractor,
+    FeaturePyramidContext,
+    load_torchvision_state_dict,
+)
+from gecco_tpu.ops.projective import bilinear_lookup, lookup_pyramid
+from gecco_tpu.types import Context3d
+
+
+def test_convnext_pyramid_shapes():
+    model = ConvNeXt.init(jax.random.PRNGKey(0), size="tiny", compute_dtype=jnp.float32)
+    images = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 64, 3))
+    maps = model(images)
+    assert [m.shape for m in maps] == [
+        (2, 16, 16, 96),
+        (2, 8, 8, 192),
+        (2, 4, 4, 384),
+    ]
+    for m in maps:
+        assert np.isfinite(np.asarray(m)).all()
+
+
+def test_convnext_extractor_modes():
+    ctx = Context3d(
+        image=jax.random.normal(jax.random.PRNGKey(2), (2, 32, 32, 3)),
+        K=jnp.broadcast_to(jnp.eye(3), (2, 3, 3)),
+    )
+    local = ConvNeXtExtractor.init(jax.random.PRNGKey(3), compute_dtype=jnp.float32)
+    out = local(ctx)
+    assert len(out.features) == 3
+    glob = ConvNeXtExtractor.init(
+        jax.random.PRNGKey(3), mode="global", compute_dtype=jnp.float32
+    )
+    assert len(glob(ctx).features) == 1
+
+
+def _torch_convnext_forward(state, x_nchw, depths, widths):
+    """Minimal torchvision-semantics ConvNeXt forward (first 3 stages)."""
+    import torch
+    import torch.nn.functional as F
+
+    def ln(x_nchw_, w, b):  # LayerNorm2d: normalise channel dim
+        x = x_nchw_.permute(0, 2, 3, 1)
+        x = F.layer_norm(x, (x.shape[-1],), w, b, eps=1e-6)
+        return x.permute(0, 3, 1, 2)
+
+    x = F.conv_2d = F.conv2d(x_nchw, state["features.0.0.weight"], state["features.0.0.bias"], stride=4)
+    x = ln(x, state["features.0.1.weight"], state["features.0.1.bias"])
+
+    maps = []
+    for k, (d, w) in enumerate(zip(depths, widths)):
+        tv = 2 * k + 1
+        for j in range(d):
+            p = f"features.{tv}.{j}"
+            y = F.conv2d(
+                x,
+                state[f"{p}.block.0.weight"],
+                state[f"{p}.block.0.bias"],
+                padding=3,
+                groups=w,
+            )
+            y = y.permute(0, 2, 3, 1)
+            y = F.layer_norm(
+                y, (w,), state[f"{p}.block.2.weight"], state[f"{p}.block.2.bias"], eps=1e-6
+            )
+            y = F.linear(y, state[f"{p}.block.3.weight"], state[f"{p}.block.3.bias"])
+            y = F.gelu(y)
+            y = F.linear(y, state[f"{p}.block.5.weight"], state[f"{p}.block.5.bias"])
+            y = y.permute(0, 3, 1, 2)
+            y = state[f"{p}.layer_scale"] * y
+            x = x + y
+        maps.append(x)
+        if k + 1 < len(widths):
+            tv2 = 2 * k + 2
+            x = ln(x, state[f"features.{tv2}.0.weight"], state[f"features.{tv2}.0.bias"])
+            x = F.conv2d(
+                x, state[f"features.{tv2}.1.weight"], state[f"features.{tv2}.1.bias"], stride=2
+            )
+    return maps
+
+
+def test_torchvision_weight_conversion_parity():
+    torch = pytest.importorskip("torch")
+    depths, widths = (2, 2, 2), (8, 16, 32)  # miniature for speed
+
+    gen = torch.Generator().manual_seed(0)
+    state = {}
+    state["features.0.0.weight"] = torch.randn(widths[0], 3, 4, 4, generator=gen) * 0.1
+    state["features.0.0.bias"] = torch.randn(widths[0], generator=gen) * 0.1
+    state["features.0.1.weight"] = torch.rand(widths[0], generator=gen) + 0.5
+    state["features.0.1.bias"] = torch.randn(widths[0], generator=gen) * 0.1
+    for k, (d, w) in enumerate(zip(depths, widths)):
+        tv = 2 * k + 1
+        for j in range(d):
+            p = f"features.{tv}.{j}"
+            state[f"{p}.block.0.weight"] = torch.randn(w, 1, 7, 7, generator=gen) * 0.1
+            state[f"{p}.block.0.bias"] = torch.randn(w, generator=gen) * 0.1
+            state[f"{p}.block.2.weight"] = torch.rand(w, generator=gen) + 0.5
+            state[f"{p}.block.2.bias"] = torch.randn(w, generator=gen) * 0.1
+            state[f"{p}.block.3.weight"] = torch.randn(4 * w, w, generator=gen) * 0.1
+            state[f"{p}.block.3.bias"] = torch.randn(4 * w, generator=gen) * 0.1
+            state[f"{p}.block.5.weight"] = torch.randn(w, 4 * w, generator=gen) * 0.1
+            state[f"{p}.block.5.bias"] = torch.randn(w, generator=gen) * 0.1
+            state[f"{p}.layer_scale"] = torch.rand(w, 1, 1, generator=gen) * 0.1
+        if k + 1 < len(widths):
+            tv2 = 2 * k + 2
+            state[f"features.{tv2}.0.weight"] = torch.rand(w, generator=gen) + 0.5
+            state[f"features.{tv2}.0.bias"] = torch.randn(w, generator=gen) * 0.1
+            state[f"features.{tv2}.1.weight"] = (
+                torch.randn(widths[k + 1], w, 2, 2, generator=gen) * 0.1
+            )
+            state[f"features.{tv2}.1.bias"] = torch.randn(widths[k + 1], generator=gen) * 0.1
+
+    # our model with matching miniature geometry
+    import gecco_tpu.models.convnext as cnx
+
+    cnx.CONVNEXT_CONFIGS["mini"] = (depths, widths)
+    model = ConvNeXt.init(jax.random.PRNGKey(0), size="mini", compute_dtype=jnp.float32)
+    model = load_torchvision_state_dict(model, state)
+
+    x = torch.randn(1, 3, 32, 32, generator=gen)
+    with torch.no_grad():
+        torch_maps = _torch_convnext_forward(state, x, depths, widths)
+
+    jax_maps = model(jnp.asarray(x.numpy().transpose(0, 2, 3, 1)))
+    for tm, jm in zip(torch_maps, jax_maps):
+        np.testing.assert_allclose(
+            np.asarray(jm),
+            tm.numpy().transpose(0, 2, 3, 1),
+            rtol=1e-3,
+            atol=1e-4,
+        )
+
+
+def test_bilinear_lookup_matches_map_coordinates():
+    """Our gather-based bilinear must equal the reference's
+    jax.scipy.ndimage.map_coordinates(order=1) (jax ref ray.py:17-38)."""
+    from jax.scipy.ndimage import map_coordinates
+
+    img = jax.random.normal(jax.random.PRNGKey(4), (1, 12, 10, 5))
+    coords01 = jax.random.uniform(jax.random.PRNGKey(5), (1, 32, 2))
+    coords_px = coords01 * jnp.array([12.0, 10.0])
+
+    ours = bilinear_lookup(img, coords_px)
+
+    ref = jax.vmap(
+        lambda ch: map_coordinates(ch, [coords_px[0, :, 0], coords_px[0, :, 1]], order=1),
+        in_axes=-1,
+        out_axes=-1,
+    )(img[0])
+    np.testing.assert_allclose(np.asarray(ours[0]), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_lookup_pyramid_concat():
+    feats = (
+        jax.random.normal(jax.random.PRNGKey(6), (2, 8, 8, 4)),
+        jax.random.normal(jax.random.PRNGKey(7), (2, 4, 4, 6)),
+    )
+    hw01 = jax.random.uniform(jax.random.PRNGKey(8), (2, 16, 2))
+    out = lookup_pyramid(feats, hw01)
+    assert out.shape == (2, 16, 10)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def _conditional_model(key):
+    from gecco_tpu import Diffusion, LogUniformSchedule, UVLReparam
+    from gecco_tpu.models import RayNetwork, SetTransformer
+
+    keys = jax.random.split(key, 3)
+    backbone = SetTransformer.init(
+        keys[0],
+        n_layers=2,
+        feature_dim=64,
+        num_inducers=8,
+        embed_dim=1,
+        num_heads=4,
+        compute_dtype=jnp.float32,
+    )
+    reparam = UVLReparam.init()
+    net = RayNetwork.init(
+        keys[1],
+        backbone,
+        reparam,
+        feature_dim=64,
+        input_ctx_dim=96 + 192 + 384,
+    )
+    cond = ConvNeXtExtractor.init(keys[2], compute_dtype=jnp.float32)
+    sched = LogUniformSchedule(sigma_max=20.0, n_solver_steps=8)
+    return Diffusion.init(net, sched, reparam=reparam, cond=cond)
+
+
+def _frustum_batch(key, b=2, n=24):
+    from gecco_tpu.reparam import UVLReparam
+
+    K = jnp.broadcast_to(
+        jnp.array([[1.0, 0.0, 0.5], [0.0, 1.0, 0.5], [0.0, 0.0, 1.0]]), (b, 3, 3)
+    )
+    uv = jax.random.uniform(key, (b, n, 2), minval=0.2, maxval=0.8)
+    depth = jax.random.uniform(jax.random.fold_in(key, 1), (b, n), minval=1.0, maxval=3.0)
+    hwd = jnp.concatenate([uv[..., ::-1], depth[..., None]], axis=-1)
+    xyz = UVLReparam.init().hwd_to_xyz(hwd, K)
+    image = jax.random.normal(jax.random.fold_in(key, 2), (b, 64, 64, 3))
+    return xyz, Context3d(image=image, K=K)
+
+
+def test_conditional_loss_and_grads():
+    model = _conditional_model(jax.random.PRNGKey(0))
+    xyz, ctx = _frustum_batch(jax.random.PRNGKey(1))
+
+    loss, grads = jax.value_and_grad(
+        lambda m: m.loss(xyz, ctx, jax.random.PRNGKey(2))
+    )(model)
+    assert np.isfinite(float(loss))
+    gnorm = sum(float(jnp.sum(g**2)) for g in jax.tree.leaves(grads))
+    assert np.isfinite(gnorm) and gnorm > 0
+
+
+def test_conditional_sampling():
+    model = _conditional_model(jax.random.PRNGKey(0))
+    _, ctx = _frustum_batch(jax.random.PRNGKey(3))
+    samples = jax.jit(
+        lambda m, k, c: m.sample_stochastic(k, (2, 16, 3), raw_ctx=c, s_churn=0.5)
+    )(model, jax.random.PRNGKey(4), ctx)
+    assert samples.shape == (2, 16, 3)
+    assert np.isfinite(np.asarray(samples)).all()

@@ -1,0 +1,45 @@
+"""Pallas kernel correctness on the CPU backend (interpret mode).
+
+The same kernels run compiled on TPU; interpret mode checks the math.
+TPU-compiled validation is part of the bench workflow."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gecco_tpu.ops.attention import rect_attention
+
+
+def _compare(m, n, dtype=jnp.float32):
+    q = jax.random.normal(jax.random.PRNGKey(0), (2, 4, m, 48), dtype)
+    k = jax.random.normal(jax.random.PRNGKey(1), (2, 4, n, 48), dtype)
+    v = jax.random.normal(jax.random.PRNGKey(2), (2, 4, n, 48), dtype)
+    a = rect_attention(q, k, v, impl="xla")
+    b = rect_attention(q, k, v, impl="pallas")
+    np.testing.assert_allclose(
+        np.asarray(a, np.float32), np.asarray(b, np.float32), rtol=2e-3, atol=2e-3
+    )
+
+
+def test_pallas_attention_pool_shape():
+    _compare(64, 256)  # inducers x points
+
+
+def test_pallas_attention_unpool_shape():
+    _compare(256, 64)  # points x inducers
+
+
+def test_pallas_attention_grads_match_xla():
+    def loss(impl):
+        def f(q, k, v):
+            return rect_attention(q, k, v, impl=impl).sum()
+
+        return f
+
+    q = jax.random.normal(jax.random.PRNGKey(3), (1, 2, 32, 48))
+    k = jax.random.normal(jax.random.PRNGKey(4), (1, 2, 64, 48))
+    v = jax.random.normal(jax.random.PRNGKey(5), (1, 2, 64, 48))
+    ga = jax.grad(loss("xla"), argnums=(0, 1, 2))(q, k, v)
+    gb = jax.grad(loss("pallas"), argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(ga, gb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)
