@@ -28,7 +28,7 @@ N_POINTS = 2048
 N_STEPS = 128
 
 
-def build_model(compute_dtype):
+def build_model(compute_dtype, attn_impl="xla"):
     key = jax.random.PRNGKey(0)
     bk, nk = jax.random.split(key)
     backbone = SetTransformer.init(
@@ -39,6 +39,7 @@ def build_model(compute_dtype):
         embed_dim=1,
         num_heads=8,
         compute_dtype=compute_dtype,
+        attn_impl=attn_impl,
     )
     net = UnconditionalPointNetwork.init(nk, backbone, feature_dim=384)
     sched = LogUniformSchedule(sigma_max=165.0, sigma_min=0.002, n_solver_steps=N_STEPS)
@@ -79,11 +80,11 @@ def time_denoise_step(model, reps=20):
 
 
 def main():
-    optimized = build_model(jnp.bfloat16)
+    optimized = build_model(jnp.bfloat16, attn_impl="pallas")
     clouds_per_sec = time_sampler(optimized, reps=3)
     p50_step = time_denoise_step(optimized)
 
-    baseline = build_model(jnp.float32)
+    baseline = build_model(jnp.float32, attn_impl="xla")
     baseline_clouds_per_sec = time_sampler(baseline, reps=2)
 
     result = {

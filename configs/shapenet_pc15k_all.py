@@ -1,8 +1,7 @@
-"""Unconditional ShapeNet (PointFlow) airplane config.
+"""Unconditional ShapeNet PC15k, all 55 categories (LION normalization).
 
-Mirrors gecco-torch/example_configs/shapenet_airplane_unconditional.py:32-82
-on the TPU stack: 6 layers, feature_dim 384, 64 inducers, LogUniform sigma_max
-165, EMA, bf16 compute. Run: ``python -m gecco_tpu.train <this file>``.
+The second benchmark config (BASELINE.md): full set-transformer over the
+complete PointFlow 15k dataset with global normalization.
 """
 
 import os
@@ -11,24 +10,18 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from gecco_tpu import Diffusion, GaussianReparam, LogUniformSchedule
+from gecco_tpu import Diffusion, LogUniformSchedule, Reparam
 from gecco_tpu.benchmark import BenchmarkCallback
 from gecco_tpu.data import dataloader
-from gecco_tpu.data.shapenet_pointflow import ShapeNetPointFlow
+from gecco_tpu.data.lion import LIONDataWrapper
 from gecco_tpu.metrics import SupervisedMetric
 from gecco_tpu.models import SetTransformer, UnconditionalPointNetwork
 from gecco_tpu.train import train as train_fn
 
-DATA_ROOT = os.environ.get("SHAPENET_PF_ROOT", "/data/shapenet-pointflow")
-CATEGORY = "02691156"  # airplane
+DATA_ROOT = os.environ.get("SHAPENET_PC15K_ROOT", "/data/ShapeNetCore.v2.PC15k")
 N_POINTS = 2048
 BATCH = 48
 NUM_STEPS = 1_000_000
-
-# dataset statistics for GaussianReparam (fit from data at startup in
-# find_hyperparameters.ipynb fashion; defaults match ShapeNet scale)
-REPARAM_MEAN = (0.0, 0.0, 0.0)
-REPARAM_STD = (0.35, 0.35, 0.35)
 
 
 def make_model(key):
@@ -40,25 +33,22 @@ def make_model(key):
         num_inducers=64,
         embed_dim=1,
         num_heads=8,
-        mlp_blowup=2,
         compute_dtype=jnp.bfloat16,
         attn_impl="pallas",
     )
     network = UnconditionalPointNetwork.init(nk, backbone, feature_dim=384)
-    schedule = LogUniformSchedule(
-        sigma_max=165.0, sigma_min=0.002, n_solver_steps=128
-    )
-    reparam = GaussianReparam.init(REPARAM_MEAN, REPARAM_STD)
-    return Diffusion.init(network, schedule, reparam=reparam)
+    schedule = LogUniformSchedule(sigma_max=165.0, sigma_min=0.002, n_solver_steps=128)
+    # LION global normalization already standardises the data
+    return Diffusion.init(network, schedule, reparam=Reparam())
 
 
 def make_train_loader():
-    dataset = ShapeNetPointFlow(DATA_ROOT, CATEGORY, "train", n_points=N_POINTS)
+    dataset = LIONDataWrapper(DATA_ROOT, "all", "train", n_points=N_POINTS)
     return dataloader(dataset, batch_size=BATCH, num_steps=NUM_STEPS)
 
 
 def make_val_loader():
-    dataset = ShapeNetPointFlow(DATA_ROOT, CATEGORY, "val", n_points=N_POINTS)
+    dataset = LIONDataWrapper(DATA_ROOT, "all", "val", n_points=N_POINTS)
     return dataloader(dataset, batch_size=BATCH, fixed_sampler=True)
 
 
@@ -72,7 +62,6 @@ def train(make_model, train_loader, val_loader, save_path):
         )
     except Exception as e:
         print(f"benchmark callback disabled: {e}")
-
     return train_fn(
         model=make_model,
         train_dataloader=train_loader,
@@ -82,8 +71,7 @@ def train(make_model, train_loader, val_loader, save_path):
         num_steps=NUM_STEPS,
         metrics=(SupervisedMetric(),),
         optimizer=optax.chain(
-            optax.clip_by_global_norm(1.0),
-            optax.adabelief(learning_rate=3e-4),
+            optax.clip_by_global_norm(1.0), optax.adabelief(learning_rate=3e-4)
         ),
         ema_alpha=0.999,
         n_validation_batches=8,

@@ -1,8 +1,8 @@
-"""Conditional Taskonomy config: RGB image -> scene point cloud.
+"""Image-conditional ShapeNet-vol (Occupancy-Networks renders + cameras).
 
-Mirrors gecco-torch/example_configs/taskonomy_conditional.py:29-109 on the
-TPU stack: UVL frustum reparam, ConvNeXt-tiny feature pyramid with
-projective conditioning, sigma_max 180, 1M steps, batch 48.
+ConvNeXt projective conditioning over posed ShapeNet objects — the third
+benchmark config (BASELINE.md). Points live in camera coordinates (world
+transform applied by the dataset), reparameterised into the UVL frustum.
 """
 
 import os
@@ -13,16 +13,16 @@ import optax
 
 from gecco_tpu import Diffusion, LogUniformSchedule, UVLReparam
 from gecco_tpu.data import dataloader
-from gecco_tpu.data.taskonomy import Taskonomy
+from gecco_tpu.data.shapenet_vol import ShapeNetVol
 from gecco_tpu.metrics import SupervisedMetric
 from gecco_tpu.models import ConvNeXtExtractor, RayNetwork, SetTransformer
 from gecco_tpu.train import train as train_fn
 
-DATA_ROOT = os.environ.get("TASKONOMY_ROOT", "/data/taskonomy")
+DATA_ROOT = os.environ.get("SHAPENET_VOL_ROOT", "/data/ShapeNet")
 N_POINTS = 2048
 BATCH = 48
 NUM_STEPS = 1_000_000
-CTX_DIMS = (96, 192, 384)  # ConvNeXt-tiny pyramid channels
+CTX_DIMS = (96, 192, 384)
 
 
 def make_model(key):
@@ -35,31 +35,28 @@ def make_model(key):
         num_inducers=64,
         embed_dim=1,
         num_heads=8,
-        mlp_blowup=2,
         compute_dtype=jnp.bfloat16,
         attn_impl="pallas",
     )
     network = RayNetwork.init(
-        keys[1],
-        backbone,
-        reparam,
-        feature_dim=384,
-        input_ctx_dim=sum(CTX_DIMS),
+        keys[1], backbone, reparam, feature_dim=384, input_ctx_dim=sum(CTX_DIMS)
     )
     cond = ConvNeXtExtractor.init(keys[2], size="tiny", mode="local")
-    schedule = LogUniformSchedule(
-        sigma_max=180.0, sigma_min=0.002, n_solver_steps=128
-    )
+    schedule = LogUniformSchedule(sigma_max=165.0, sigma_min=0.002, n_solver_steps=128)
     return Diffusion.init(network, schedule, reparam=reparam, cond=cond)
 
 
 def make_train_loader():
-    dataset = Taskonomy(DATA_ROOT, split="train", n_points=N_POINTS)
+    dataset = ShapeNetVol(
+        DATA_ROOT, "train", posed=True, image_conditional=True, n_points=N_POINTS
+    )
     return dataloader(dataset, batch_size=BATCH, num_steps=NUM_STEPS)
 
 
 def make_val_loader():
-    dataset = Taskonomy(DATA_ROOT, split="val", n_points=N_POINTS)
+    dataset = ShapeNetVol(
+        DATA_ROOT, "val", posed=True, image_conditional=True, n_points=N_POINTS
+    )
     return dataloader(dataset, batch_size=BATCH, fixed_sampler=True)
 
 
@@ -73,8 +70,7 @@ def train(make_model, train_loader, val_loader, save_path):
         num_steps=NUM_STEPS,
         metrics=(SupervisedMetric(),),
         optimizer=optax.chain(
-            optax.clip_by_global_norm(1.0),
-            optax.adabelief(learning_rate=3e-4),
+            optax.clip_by_global_norm(1.0), optax.adabelief(learning_rate=3e-4)
         ),
         ema_alpha=0.999,
         n_validation_batches=8,

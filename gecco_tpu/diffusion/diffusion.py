@@ -39,12 +39,19 @@ class NoCond:
         return raw_ctx
 
 
+def mse(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Per-example mean-squared divergence (models/divergences.py:4-6),
+    batched: [B, N, D] x [B, N, D] -> [B]."""
+    return jnp.mean((a - b) ** 2, axis=(-2, -1))
+
+
 @module
 class Diffusion:
     network: Any  # net(t [B], x [B,N,D], ctx, hs=..., return_h=...) -> [B,N,D]
     cond: Any  # raw_ctx -> ctx, run once per batch
     reparam: Reparam
     schedule: Schedule
+    divergence_fn: Any = static(default=None)  # (x_hat, x) -> [B]; None = mse
 
     @classmethod
     def init(
@@ -53,12 +60,14 @@ class Diffusion:
         schedule: Schedule,
         reparam: Optional[Reparam] = None,
         cond: Optional[Any] = None,
+        divergence_fn: Optional[Any] = None,
     ) -> "Diffusion":
         return cls(
             network=network,
             cond=cond if cond is not None else NoCond(),
             reparam=reparam if reparam is not None else Reparam(),
             schedule=schedule,
+            divergence_fn=divergence_fn,
         )
 
     # -- preconditioned denoiser (models/diffusion.py:220-262) --
@@ -113,7 +122,8 @@ class Diffusion:
 
         x_hat = self.denoise(sigma, perturbed, ctx)
         weight = self.schedule.loss_weight(sigma)  # [B]
-        divergence = jnp.mean((x_hat - x) ** 2, axis=(-2, -1))  # per-example mse
+        div_fn = self.divergence_fn if self.divergence_fn is not None else mse
+        divergence = div_fn(x_hat, x)  # [B]
         return loss_scale * jnp.mean(weight * divergence)
 
     # -- sampling --

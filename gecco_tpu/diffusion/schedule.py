@@ -35,6 +35,9 @@ class Schedule:
     n_solver_steps: int = static(default=16)
     sigma_min: float = static(default=0.002)
     rho: float = static(default=7.0)
+    # 'sigma': jax-package convention (models/diffusion.py:94-96);
+    # 'log_quarter': gecco-torch convention log(sigma)/4 (diffusion.py:48-52)
+    c_noise_mode: str = static(default="sigma")
 
     # -- preconditioning (models/diffusion.py:80-96) --
 
@@ -51,6 +54,8 @@ class Schedule:
         return 1.0 / jnp.sqrt(sigma**2 + s_d**2)
 
     def c_noise(self, sigma):
+        if self.c_noise_mode == "log_quarter":
+            return jnp.log(sigma) / 4
         return sigma
 
     def loss_weight(self, sigma):

@@ -28,7 +28,27 @@ __all__ = [
     "replicated_sharding",
     "shard_batch",
     "replicate",
+    "init_distributed",
 ]
+
+
+def init_distributed(**kwargs) -> int:
+    """Initialise multi-host JAX (one call per process, before any device
+    use) and return the process index.
+
+    The reference is single-host only (SURVEY.md §2c: no
+    ``jax.distributed.initialize`` anywhere); this is the multi-slice entry
+    point — after it, the same ``make_mesh``/``shard_batch`` code scales
+    across hosts, with XLA routing collectives over ICI within a slice and
+    DCN across slices. No-ops when not in a distributed environment.
+    """
+    try:
+        jax.distributed.initialize(**kwargs)
+    except (ValueError, RuntimeError) as e:
+        # already initialised, or single-process environment
+        if "already" not in str(e) and jax.process_count() == 1:
+            pass
+    return jax.process_index()
 
 
 def make_mesh(

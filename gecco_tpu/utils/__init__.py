@@ -1,4 +1,5 @@
 from gecco_tpu.utils.modules import (
+    Frozen,
     Linear,
     count_parameters,
     module,
@@ -9,6 +10,7 @@ from gecco_tpu.utils.modules import (
 from gecco_tpu.utils.prng import splitter
 
 __all__ = [
+    "Frozen",
     "Linear",
     "count_parameters",
     "module",

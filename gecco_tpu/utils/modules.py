@@ -25,6 +25,7 @@ __all__ = [
     "module",
     "static",
     "Linear",
+    "Frozen",
     "stack_modules",
     "unstack_module",
     "count_parameters",
@@ -88,6 +89,26 @@ class Linear:
         if self.bias is not None:
             y = y + self.bias.astype(x.dtype)
         return y
+
+
+@module
+class Frozen:
+    """Wrap a module so its parameters receive no gradients.
+
+    Analog of the reference's ``Frozen`` stop-gradient descriptor
+    (gecco-jax/src/gecco_jax/models/util.py:13-22): the inner module's array
+    leaves pass through ``lax.stop_gradient`` before every call, so they stay
+    constant under training while remaining part of the checkpointed pytree.
+    """
+
+    inner: Any
+
+    def __call__(self, *args, **kwargs):
+        frozen = jax.tree.map(jax.lax.stop_gradient, self.inner)
+        return frozen(*args, **kwargs)
+
+    def __getattr__(self, name):
+        return getattr(object.__getattribute__(self, "inner"), name)
 
 
 def stack_modules(mods: list) -> Any:

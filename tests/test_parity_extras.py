@@ -1,0 +1,103 @@
+"""Parity extras: divergence_fn plumbing, c_noise conventions, Frozen,
+config importability, sequence-parallel numerical parity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from gecco_tpu import Diffusion, GaussianReparam, LogUniformSchedule, Schedule
+from gecco_tpu.models import SetTransformer, UnconditionalPointNetwork
+from gecco_tpu.utils import Frozen, Linear
+
+
+def _tiny(key, **sched_kw):
+    bk, nk = jax.random.split(key)
+    backbone = SetTransformer.init(
+        bk, n_layers=1, feature_dim=32, num_inducers=4, embed_dim=1, num_heads=4,
+        compute_dtype=jnp.float32,
+    )
+    net = UnconditionalPointNetwork.init(nk, backbone, feature_dim=32)
+    sched = LogUniformSchedule(sigma_max=10.0, n_solver_steps=8, **sched_kw)
+    return Diffusion.init(net, sched)
+
+
+def test_c_noise_conventions():
+    s = Schedule()
+    np.testing.assert_allclose(float(s.c_noise(jnp.array(3.0))), 3.0)
+    s_torch = Schedule(c_noise_mode="log_quarter")
+    np.testing.assert_allclose(
+        float(s_torch.c_noise(jnp.array(3.0))), np.log(3.0) / 4, rtol=1e-6
+    )
+
+
+def test_custom_divergence_fn():
+    def l1(a, b):
+        return jnp.abs(a - b).mean(axis=(-2, -1))
+
+    model = _tiny(jax.random.PRNGKey(0))
+    model_l1 = model.replace(divergence_fn=l1)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 16, 3))
+    key = jax.random.PRNGKey(2)
+    loss_mse = float(model.loss(x, None, key))
+    loss_l1 = float(model_l1.loss(x, None, key))
+    assert np.isfinite(loss_l1) and loss_l1 != loss_mse
+
+
+def test_frozen_blocks_gradients():
+    lin = Linear.init(jax.random.PRNGKey(0), 4, 4)
+    frozen = Frozen(inner=lin)
+    x = jnp.ones((2, 4))
+
+    grads = jax.grad(lambda f: f(x).sum())(frozen)
+    assert all(float(jnp.abs(g).max()) == 0.0 for g in jax.tree.leaves(grads))
+    # unfrozen control
+    grads2 = jax.grad(lambda l: l(x).sum())(lin)
+    assert any(float(jnp.abs(g).max()) > 0.0 for g in jax.tree.leaves(grads2))
+
+
+def test_all_configs_importable():
+    import os
+
+    from gecco_tpu.config import load_config
+
+    cfg_dir = os.path.join(os.path.dirname(__file__), "..", "configs")
+    for name in sorted(os.listdir(cfg_dir)):
+        if not name.endswith(".py"):
+            continue
+        config = load_config(os.path.join(cfg_dir, name))
+        for attr in ("make_model", "make_train_loader", "make_val_loader", "train"):
+            assert hasattr(config, attr), (name, attr)
+        # models must build (loaders need real data; skip those)
+        model = config.make_model(jax.random.PRNGKey(0))
+        assert hasattr(model, "denoise")
+
+
+def test_sequence_parallel_matches_single_device():
+    """Points sharded over the 'seq' axis must give the same loss/grads as
+    unsharded execution (SURVEY.md §5.7 extension)."""
+    from gecco_tpu.parallel import make_mesh, replicate, shard_batch
+    from gecco_tpu.train import make_train_step
+    from gecco_tpu.types import Example
+
+    model = _tiny(jax.random.PRNGKey(0))
+    opt = optax.adam(1e-3)
+    pts = np.random.default_rng(0).normal(size=(8, 16, 3)).astype(np.float32)
+    key = jax.random.PRNGKey(3)
+
+    mesh = make_mesh(data=4, seq=2)
+    model_r = replicate(jax.tree.map(jnp.copy, model), mesh)
+    batch = shard_batch(Example(pts, None), mesh, shard_points=True)
+
+    step = make_train_step(opt)
+    loss_a, model_a, _, _ = step(
+        model, jax.tree.map(jnp.copy, model), opt.init(model), jnp.asarray(pts), None, key
+    )
+    loss_b, model_b, _, _ = step(
+        model_r, jax.tree.map(jnp.copy, model_r), opt.init(model_r),
+        batch.points, batch.ctx, key,
+    )
+    np.testing.assert_allclose(float(loss_a), float(loss_b), rtol=1e-4)
+    wa = np.asarray(jax.tree.leaves(model_a)[0])
+    wb = np.asarray(jax.tree.leaves(model_b)[0])
+    np.testing.assert_allclose(wa, wb, rtol=1e-3, atol=1e-6)

@@ -112,3 +112,34 @@ def test_jsonl_writer(tmp_path):
     records = [json.loads(l) for l in open(tmp_path / "scalars.jsonl")]
     assert records[0]["tag"] == "train/loss"
     assert records[0]["value"] == 1.5
+
+
+def test_trajectories_polylines():
+    from gecco_tpu.vis import plot_trajectories_3d, trajectories_to_polylines
+
+    traj = np.random.default_rng(0).normal(size=(5, 8, 3)).astype(np.float32)
+    verts = trajectories_to_polylines(traj)
+    assert verts.shape == (8 * 6, 3)  # T+1 rows per point, NaN separators
+    assert np.isnan(verts[5]).all()
+    fig = plot_trajectories_3d(traj)
+    assert fig is not None
+
+
+def test_conditional_render_callback():
+    from gecco_tpu.types import Context3d
+    from gecco_tpu.vis import ConditionalRenderCallback
+
+    model = _tiny_model(jax.random.PRNGKey(6), geom_dim=3)
+    cb = ConditionalRenderCallback(n=2, n_steps=4)
+    rng = np.random.default_rng(0)
+    batch = Example(
+        rng.normal(size=(2, 16, 3)).astype(np.float32),
+        Context3d(
+            image=rng.random((2, 16, 16, 3)).astype(np.float32),
+            K=np.tile(np.eye(3, dtype=np.float32), (2, 1, 1)),
+        ),
+    )
+    cb.set_batch(batch)
+    writer = _RecordingWriter()
+    cb(model, writer, epoch=0)
+    assert ("add_figure", "conditional/renders") in writer.calls
