@@ -43,6 +43,7 @@ def make_model(key):
         mlp_blowup=2,
         compute_dtype=jnp.bfloat16,
         attn_impl="pallas",
+        remat=True,
     )
     network = UnconditionalPointNetwork.init(nk, backbone, feature_dim=384)
     schedule = LogUniformSchedule(

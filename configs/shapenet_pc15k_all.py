@@ -35,6 +35,7 @@ def make_model(key):
         num_heads=8,
         compute_dtype=jnp.bfloat16,
         attn_impl="pallas",
+        remat=True,
     )
     network = UnconditionalPointNetwork.init(nk, backbone, feature_dim=384)
     schedule = LogUniformSchedule(sigma_max=165.0, sigma_min=0.002, n_solver_steps=128)

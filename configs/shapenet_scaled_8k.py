@@ -36,6 +36,7 @@ def make_model(key):
         num_heads=16,
         compute_dtype=jnp.bfloat16,
         attn_impl="pallas",
+        remat=True,
     )
     network = UnconditionalPointNetwork.init(nk, backbone, feature_dim=768)
     schedule = LogUniformSchedule(sigma_max=165.0, sigma_min=0.002, n_solver_steps=128)

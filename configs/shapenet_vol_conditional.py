@@ -37,6 +37,7 @@ def make_model(key):
         num_heads=8,
         compute_dtype=jnp.bfloat16,
         attn_impl="pallas",
+        remat=True,
     )
     network = RayNetwork.init(
         keys[1], backbone, reparam, feature_dim=384, input_ctx_dim=sum(CTX_DIMS)

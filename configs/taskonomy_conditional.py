@@ -38,6 +38,7 @@ def make_model(key):
         mlp_blowup=2,
         compute_dtype=jnp.bfloat16,
         attn_impl="pallas",
+        remat=True,
     )
     network = RayNetwork.init(
         keys[1],

@@ -73,7 +73,11 @@ class Diffusion:
     # -- preconditioned denoiser (models/diffusion.py:220-262) --
 
     def _broadcast_sigma(self, sigma, x):
+        from gecco_tpu.utils.checks import check_points, check_sigma_batch
+
+        check_points(x, "x")
         sigma = jnp.asarray(sigma, x.dtype)
+        check_sigma_batch(sigma, x.shape[0])
         return jnp.broadcast_to(sigma, x.shape[:1])  # [B]
 
     def denoise(

@@ -1,23 +1,27 @@
-"""Fused rectangular attention Pallas kernel for induced set attention.
+"""Fused rectangular attention Pallas kernels for induced set attention.
 
 The denoiser only ever runs two attention shapes (SURVEY.md §5.7): pool
 (M=I~64 queries x N points) and unpool (N points x I~64 keys). Both are
 *thin*: the logits matrix has at most max(M, N) * I entries, so it fits VMEM
 whole per (batch, head) — no online-softmax tiling, only query blocking.
 The XLA path materialises fp32 logits in HBM (measured ~22 ms of a ~30 ms
-denoiser eval at B=64, N=2048, C=384); this kernel keeps them in VMEM.
+denoiser eval at B=64, N=2048, C=384); these kernels keep them in VMEM.
 
-Layout is chosen for the TPU tiling rules (head_dim D=48 is NOT a multiple
-of the 128-lane width, so D must never be the minor axis):
+Layout notes (TPU tiling rules; head_dim D=48 is NOT a multiple of the
+128-lane width, so D must never be the minor axis):
 - operands arrive transposed as ``[B, H, D, {M,N}]`` — lanes are the long
   point axis, sublanes the 48-wide head dim (multiple of 8);
-- grid is ``(B, M-tiles)`` with a static unrolled loop over heads, so each
-  grid step does 2*H MXU matmuls on well-shaped tiles;
-- probabilities are normalised before the second matmul, which is computed
+- the grid is ``(B, H, M-tiles)``: one head per grid step keeps each Mosaic
+  program small (the axon remote-compile helper crashes on large unrolled
+  multi-head bodies) and lets the pipeline overlap heads;
+- probabilities are normalised before the value matmul, which is computed
   as ``v @ p^T`` to keep the output transposed/aligned.
 
-Backward: custom VJP recomputing probabilities from the saved logsumexp with
-plain XLA einsums (matmul-dominated anyway).
+Backward: a second Pallas kernel recomputing p from the saved logsumexp;
+dk/dv are emitted as per-query-tile partials and summed outside (no
+cross-grid-step accumulation). All kernel outputs are tied into the result
+value because jax-level DCE of unused pallas outputs also crashes the
+compile helper.
 
 Falls back to interpret mode off-TPU so the same path is testable on CPU.
 """
@@ -36,6 +40,9 @@ __all__ = ["rect_attention_pallas"]
 
 
 def _attn_kernel(qT_ref, kT_ref, vT_ref, oT_ref, lse_ref, *, scale: float, num_heads: int):
+    # the forward unrolls heads inside one grid step: more MXU work per step
+    # amortises fixed per-step overhead (measured 9.8 vs 7.7 clouds/s against
+    # the head-on-grid variant); the smaller fwd body still compiles
     for h in range(num_heads):
         qT = qT_ref[0, h]  # [D, TM]
         kT = kT_ref[0, h]  # [D, N]
@@ -43,32 +50,28 @@ def _attn_kernel(qT_ref, kT_ref, vT_ref, oT_ref, lse_ref, *, scale: float, num_h
 
         # s[TM, N] = q @ k^T, contracting the D sublanes of both operands
         s = jax.lax.dot_general(
-            qT,
-            kT,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            qT, kT, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
         s = s * scale  # fp32, VMEM-resident
 
         m = jnp.max(s, axis=-1, keepdims=True)  # [TM, 1]
         p = jnp.exp(s - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
-        p = p / l  # normalise before the value matmul
+        p = p / l
 
         # oT[D, TM] = v @ p^T, contracting the N lanes of both operands
         oT = jax.lax.dot_general(
-            vT,
-            p.astype(vT.dtype),
-            dimension_numbers=(((1,), (1,)), ((), ())),
+            vT, p.astype(vT.dtype), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-
         oT_ref[0, h] = oT.astype(oT_ref.dtype)
         lse_ref[0, h] = m + jnp.log(l)
 
 
 def _pick_tile(m: int) -> int:
-    for tm in (512, 256, 128):
+    # 1024 measured fastest at N=2048 (24.9 vs 25.7 ms/eval); full-M blocks
+    # at M>=2048 exceed the 16 MB VMEM
+    for tm in (1024, 512, 256, 128):
         if m % tm == 0:
             return tm
     return m
@@ -85,13 +88,9 @@ def _forward(q, k, v):
     kT = jnp.swapaxes(k, -1, -2)  # [B, H, D, N]
     vT = jnp.swapaxes(v, -1, -2)
 
-    kernel = functools.partial(_attn_kernel, scale=scale, num_heads=h)
     oT, lse3 = pl.pallas_call(
-        kernel,
+        functools.partial(_attn_kernel, scale=scale, num_heads=h),
         grid=(b, m // tm),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")
-        ),
         in_specs=[
             pl.BlockSpec((1, h, d, tm), lambda bi, mi: (bi, 0, 0, mi), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, h, d, n), lambda bi, mi: (bi, 0, 0, 0), memory_space=pltpu.VMEM),
@@ -105,8 +104,16 @@ def _forward(q, k, v):
             jax.ShapeDtypeStruct((b, h, d, m), q.dtype),
             jax.ShapeDtypeStruct((b, h, m, 1), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")
+        ),
         interpret=jax.default_backend() != "tpu",
     )(qT, kT, vT)
+    # Tie every kernel output into the result: jax's DCE otherwise prunes
+    # unused pallas_call outputs (e.g. lse in remat's primal pass) and the
+    # axon remote-compile helper crashes on the pruned call. A single-element
+    # tie keeps the output alive at negligible cost.
+    oT = oT + (0.0 * lse3[0, 0, 0, 0]).astype(oT.dtype)
     return jnp.swapaxes(oT, -1, -2), lse3[..., 0]
 
 
@@ -121,23 +128,106 @@ def _fwd(q, k, v):
     return o, (q, k, v, o, lse)
 
 
+def _bwd_kernel(
+    qT_ref, kT_ref, vT_ref, doT_ref, lse_ref, delta_ref,
+    dqT_ref, dkT_ref, dvT_ref,
+    *, scale: float,
+):
+    """Flash-style backward: recompute p per tile in VMEM. dk/dv are written
+    as per-query-tile partials (summed outside) — no cross-grid-step
+    accumulation."""
+    qT = qT_ref[0, 0]  # [D, TM]
+    kT = kT_ref[0, 0]  # [D, N]
+    vT = vT_ref[0, 0]
+    doT = doT_ref[0, 0]  # [D, TM]
+    lse = lse_ref[0, 0]  # [TM, 1]
+    delta = delta_ref[0, 0]  # [TM, 1]
+
+    s = jax.lax.dot_general(
+        qT, kT, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # [TM, N]
+    p = jnp.exp(s - lse)
+
+    dp = jax.lax.dot_general(
+        doT, vT, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [TM, N]
+    ds = p * (dp - delta)
+    ds_b = ds.astype(qT.dtype)
+    p_b = p.astype(qT.dtype)
+
+    # dqT [D, TM] = kT @ ds^T
+    dqT_ref[0, 0] = (
+        jax.lax.dot_general(
+            kT, ds_b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        * scale
+    ).astype(dqT_ref.dtype)
+    # dkT [D, N] partial = qT @ ds ; dvT [D, N] partial = doT @ p
+    dkT_ref[0, 0, 0] = (
+        jax.lax.dot_general(
+            qT, ds_b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        * scale
+    )
+    dvT_ref[0, 0, 0] = jax.lax.dot_general(
+        doT, p_b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _backward(q, k, v, o, lse, g):
+    b, h, m, d = q.shape
+    n = k.shape[2]
+    scale = 1.0 / math.sqrt(d)
+    tm = _pick_tile(m)
+    n_mt = m // tm
+
+    qT = jnp.swapaxes(q, -1, -2)
+    kT = jnp.swapaxes(k, -1, -2)
+    vT = jnp.swapaxes(v, -1, -2)
+    doT = jnp.swapaxes(g, -1, -2).astype(q.dtype)
+    delta = jnp.sum(
+        g.astype(jnp.float32) * o.astype(jnp.float32), axis=-1, keepdims=True
+    )  # [B, H, M, 1]
+    lse4 = lse[..., None]
+
+    dqT, dkT, dvT = pl.pallas_call(
+        functools.partial(_bwd_kernel, scale=scale),
+        grid=(b, h, n_mt),
+        in_specs=[
+            pl.BlockSpec((1, 1, d, tm), lambda bi, hi, mi: (bi, hi, 0, mi), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, d, n), lambda bi, hi, mi: (bi, hi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, d, n), lambda bi, hi, mi: (bi, hi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, d, tm), lambda bi, hi, mi: (bi, hi, 0, mi), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tm, 1), lambda bi, hi, mi: (bi, hi, mi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tm, 1), lambda bi, hi, mi: (bi, hi, mi, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, d, tm), lambda bi, hi, mi: (bi, hi, 0, mi), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, d, n), lambda bi, hi, mi: (bi, mi, hi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, d, n), lambda bi, hi, mi: (bi, mi, hi, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, d, m), q.dtype),
+            jax.ShapeDtypeStruct((b, n_mt, h, d, n), jnp.float32),
+            jax.ShapeDtypeStruct((b, n_mt, h, d, n), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(qT, kT, vT, doT, lse4, delta)
+
+    # tie outputs together against pallas-output DCE (see _forward)
+    tie = (0.0 * (dkT[0, 0, 0, 0, 0] + dvT[0, 0, 0, 0, 0])).astype(dqT.dtype)
+    dq = jnp.swapaxes(dqT + tie, -1, -2)
+    dk = jnp.swapaxes(dkT.sum(axis=1), -1, -2).astype(k.dtype)
+    dv = jnp.swapaxes(dvT.sum(axis=1), -1, -2).astype(v.dtype)
+    return dq, dk, dv
+
+
 def _bwd(res, g):
     q, k, v, o, lse = res
-    d = q.shape[-1]
-    scale = 1.0 / math.sqrt(d)
-
-    s = jnp.einsum("bhmd,bhnd->bhmn", q, k, preferred_element_type=jnp.float32) * scale
-    p = jnp.exp(s - lse[..., None])  # [B, H, M, N]
-
-    gf = g.astype(jnp.float32)
-    of = o.astype(jnp.float32)
-    dv = jnp.einsum("bhmn,bhmd->bhnd", p, gf)
-    dp = jnp.einsum("bhmd,bhnd->bhmn", gf, v.astype(jnp.float32))
-    delta = jnp.sum(gf * of, axis=-1, keepdims=True)
-    ds = p * (dp - delta)
-    dq = jnp.einsum("bhmn,bhnd->bhmd", ds, k.astype(jnp.float32)) * scale
-    dk = jnp.einsum("bhmn,bhmd->bhnd", ds, q.astype(jnp.float32)) * scale
-    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+    return _backward(q, k, v, o, lse, g)
 
 
 _rect_attention_core.defvjp(_fwd, _bwd)

@@ -77,10 +77,15 @@ def make_train_step(
         def loss_fn(m):
             return m.loss(points, raw_ctx, key, loss_scale=loss_scale)
 
-        loss, grads = jax.value_and_grad(loss_fn)(model)
-        updates, opt_state = optimizer.update(grads, opt_state, model)
-        model = optax.apply_updates(model, updates)
-        ema = ema_update(ema, model, ema_alpha)
+        # named regions appear in jax.profiler traces
+        # (reference: annotate_function, models/diffusion.py:568-577)
+        with jax.named_scope("value_and_grad"):
+            loss, grads = jax.value_and_grad(loss_fn)(model)
+        with jax.named_scope("opt_update"):
+            updates, opt_state = optimizer.update(grads, opt_state, model)
+            model = optax.apply_updates(model, updates)
+        with jax.named_scope("ema_update"):
+            ema = ema_update(ema, model, ema_alpha)
         return loss, model, ema, opt_state
 
     return step

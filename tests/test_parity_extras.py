@@ -101,3 +101,15 @@ def test_sequence_parallel_matches_single_device():
     wa = np.asarray(jax.tree.leaves(model_a)[0])
     wb = np.asarray(jax.tree.leaves(model_b)[0])
     np.testing.assert_allclose(wa, wb, rtol=1e-3, atol=1e-6)
+
+
+def test_shape_checks_raise():
+    import pytest
+
+    model = _tiny(jax.random.PRNGKey(0))
+    bad = jnp.zeros((16, 3))  # missing batch dim
+    with pytest.raises(ValueError, match="B, N, D"):
+        model.denoise(1.0, bad)
+    good = jnp.zeros((2, 16, 3))
+    with pytest.raises(ValueError, match="does not match"):
+        model.denoise(jnp.ones((3,)), good)

@@ -166,3 +166,59 @@ def test_nan_guard(tmp_path):
     with pytest.raises(NaNError):
         trainer.fit()
     assert os.path.exists(os.path.join(str(tmp_path), "offending-data.npz"))
+
+
+def test_best_metric_checkpoints(tmp_path):
+    """Chamfer-named metrics trigger best-checkpoint saves with the
+    reference's create/delete semantics (training.py:377-427)."""
+    from gecco_tpu.utils.logging import MockWriter
+
+    ds = BlobDataset()
+    trainer = Trainer(
+        model=lambda key: make_model(key),
+        train_dataloader=dataloader(ds, batch_size=8, num_steps=2, num_workers=1),
+        val_dataloader=dataloader(ds, batch_size=8, fixed_sampler=True, num_workers=1),
+        save_path=str(tmp_path),
+        save_every=10,
+        num_steps=2,
+        optimizer=optax.adam(1e-3),
+        skip_smoke_test=True,
+        seed=7,
+    )
+    trainer._init_opt_state()
+
+    trainer._maybe_save_best_metric("supervised/chamfer_distance", 1.0, 10, False)
+    best_dir = os.path.join(str(tmp_path), "best-checkpoints")
+    first = os.listdir(best_dir)
+    assert len(first) == 1 and "step-10" in first[0]
+
+    # improvement replaces the old checkpoint
+    trainer._maybe_save_best_metric("supervised/chamfer_distance", 0.5, 20, False)
+    second = os.listdir(best_dir)
+    assert len(second) == 1 and "step-20" in second[0]
+
+    # regression does nothing
+    trainer._maybe_save_best_metric("supervised/chamfer_distance", 0.9, 30, False)
+    assert os.listdir(best_dir) == second
+
+    # non-tracked metrics are ignored
+    trainer._maybe_save_best_metric("loss/loss", 0.1, 40, False)
+    assert os.listdir(best_dir) == second
+
+
+def test_multi_val_loaders(tmp_path):
+    ds = BlobDataset()
+    val_a = dataloader(ds, batch_size=8, fixed_sampler=True, num_workers=1, name="a")
+    val_b = dataloader(ds, batch_size=8, fixed_sampler=True, num_workers=1, name="b")
+    trainer = Trainer(
+        model=lambda key: make_model(key),
+        train_dataloader=dataloader(ds, batch_size=8, num_steps=1, num_workers=1),
+        val_dataloader=[val_a, val_b],
+        save_path=str(tmp_path),
+        optimizer=optax.adam(1e-3),
+        seed=7,
+    )
+    trainer._init_opt_state()
+    metrics = trainer.metrics_loop(n_batches=1)
+    assert any(k.startswith("a/") for k in metrics)
+    assert any(k.startswith("b/") for k in metrics)
