@@ -40,7 +40,7 @@ def make_model(key):
         remat=True,
     )
     network = RayNetwork.init(
-        keys[1], backbone, reparam, feature_dim=384, input_ctx_dim=sum(CTX_DIMS)
+        keys[1], backbone, reparam, feature_dim=384, input_ctx_dim=sum(CTX_DIMS), lookup_impl="pallas"
     )
     cond = ConvNeXtExtractor.init(keys[2], size="tiny", mode="local")
     schedule = LogUniformSchedule(sigma_max=165.0, sigma_min=0.002, n_solver_steps=128)

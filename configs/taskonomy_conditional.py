@@ -46,6 +46,7 @@ def make_model(key):
         reparam,
         feature_dim=384,
         input_ctx_dim=sum(CTX_DIMS),
+        lookup_impl="pallas",
     )
     cond = ConvNeXtExtractor.init(keys[2], size="tiny", mode="local")
     schedule = LogUniformSchedule(

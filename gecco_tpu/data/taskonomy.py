@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import os
 import re
+import threading
 from typing import List, Tuple
 
 import numpy as np
@@ -36,6 +37,7 @@ class Building:
             views = h5_file["view"][()]
 
         self.points_and_views = list(zip(points.tolist(), views.tolist()))
+        self._local = threading.local()  # per-thread h5 handle cache
         missing = self.missing_points_and_views()
         is_available = ~np.array(
             [(pv in missing) for pv in self.points_and_views], dtype=bool
@@ -66,14 +68,25 @@ class Building:
     def __len__(self):
         return len(self.reindex)
 
-    def __getitem__(self, index: int) -> Example:
+    def _h5(self):
+        """Per-thread cached h5 handle (the reference reopens the file for
+        every item, taskonomy.py:76; at ~400 GB streaming rates the open
+        dominates)."""
         import h5py
+
+        handle = getattr(self._local, "h5", None)
+        if handle is None:
+            handle = h5py.File(self.h5_path, "r")
+            self._local.h5 = handle
+        return handle
+
+    def __getitem__(self, index: int) -> Example:
         from PIL import Image
 
         index = self.reindex[index]
-        with h5py.File(self.h5_path, "r") as h5_file:
-            pc = h5_file["pc"][index]
-            K = h5_file["k"][index]
+        h5_file = self._h5()
+        pc = h5_file["pc"][index]
+        K = h5_file["k"][index]
 
         image_path = self.rgb_file_path(index)
         image = np.asarray(Image.open(image_path)).astype(np.float32) / 255.0

@@ -227,8 +227,10 @@ class ConvNeXtExtractor:
         maps = self.backbone(ctx_raw.image)
         if self.mode == "global":
             maps = maps[-1:]
+        # keep the pyramid in compute dtype: the projective gather is
+        # bandwidth-bound and bf16 features halve its traffic
         return FeaturePyramidContext(
-            features=tuple(m.astype(jnp.float32) for m in maps),
+            features=tuple(maps),
             K=ctx_raw.K,
             wmat=ctx_raw.wmat,
         )

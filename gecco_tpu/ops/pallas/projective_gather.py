@@ -1,0 +1,133 @@
+"""Fused projective-gather Pallas kernel.
+
+TPUs dislike gathers (SURVEY.md §7 hard part #3): the XLA path does 4
+``take_along_axis`` gathers per pyramid level (~11 ms of a ~32 ms conditional
+denoiser eval at B=48, N=2048). This kernel rewrites the bilinear lookup as
+MXU work using the separable one-hot formulation:
+
+    out[n, c] = sum_h sum_w  ohh[n, h] * ohw[n, w] * F[h, w, c]
+
+- ``ohh [TN, H]``: two nonzeros per row, (1-fh) at floor(ch) and fh at
+  floor(ch)+1 — built with iota comparisons in VMEM (out-of-range corner
+  indices simply never match, reproducing the XLA path's zero padding);
+- contract H on the MXU: ``tmp [TN, W*C] = ohh @ F.reshape(H, W*C)``;
+- contract W on the VPU: ``out[n, c] = sum_w ohw[n, w] * tmp[n, w, c]``.
+
+One pallas_call per pyramid level, grid (B, N-tiles).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["bilinear_lookup_pallas", "lookup_pyramid_pallas"]
+
+
+def _gather_kernel(ch_ref, cw_ref, hidx_ref, widx_ref, f_ref, o_ref, *, height: int, width: int):
+    ch = ch_ref[0]  # [TN, 1] fp32, pixel-space h coordinate
+    cw = cw_ref[0]  # [TN, 1]
+    hidx = hidx_ref[0]  # [1, H*W] int32: h index of each flattened position
+    widx = widx_ref[0]  # [1, H*W] int32
+    f = f_ref[0]  # [H*W, C]
+
+    h0 = jnp.floor(ch)
+    fh = ch - h0
+    w0 = jnp.floor(cw)
+    fw = cw - w0
+    # int32 comparisons (Mosaic iota/compare must be integer-typed); clamp
+    # the float floor into int range first — out-of-image corners never match
+    h0i = jnp.clip(h0, -2.0, float(height + 1)).astype(jnp.int32)
+    w0i = jnp.clip(w0, -2.0, float(width + 1)).astype(jnp.int32)
+
+    # combined bilinear one-hot [TN, H*W]: product of the separable weights
+    wh = jnp.where(hidx == h0i, 1.0 - fh, 0.0) + jnp.where(hidx == h0i + 1, fh, 0.0)
+    ww = jnp.where(widx == w0i, 1.0 - fw, 0.0) + jnp.where(widx == w0i + 1, fw, 0.0)
+    weights = wh * ww
+
+    # one MXU matmul replaces the 4-corner gather: [TN, HW] @ [HW, C]
+    out = jax.lax.dot_general(
+        weights.astype(f.dtype), f, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+@jax.custom_vjp
+def bilinear_lookup_pallas(level: jnp.ndarray, coords_hw: jnp.ndarray) -> jnp.ndarray:
+    """``level [B, H, W, C]`` sampled at pixel-space ``coords_hw [B, N, 2]``
+    -> ``[B, N, C]`` (zero outside, order-1, matching ops.projective).
+
+    Differentiable: forward runs the fused kernel; the backward recomputes
+    through the (cheap, scatter-shaped) XLA formulation.
+    """
+    return _lookup_forward(level, coords_hw)
+
+
+def _lookup_fwd(level, coords_hw):
+    return _lookup_forward(level, coords_hw), (level, coords_hw)
+
+
+def _lookup_bwd(res, g):
+    from gecco_tpu.ops.projective import bilinear_lookup
+
+    level, coords_hw = res
+    _, vjp = jax.vjp(bilinear_lookup, level, coords_hw)
+    return vjp(g)
+
+
+def _lookup_forward(level: jnp.ndarray, coords_hw: jnp.ndarray) -> jnp.ndarray:
+    b, h, w, c = level.shape
+    n = coords_hw.shape[1]
+
+    tn = 256
+    while n % tn != 0:
+        tn //= 2
+        if tn < 8:
+            tn = n
+            break
+
+    ch = coords_hw[..., 0:1].astype(jnp.float32)  # [B, N, 1]
+    cw = coords_hw[..., 1:2].astype(jnp.float32)
+    f = level.reshape(b, h * w, c)
+    hw_ids = jnp.arange(h * w, dtype=jnp.int32)
+    hidx = (hw_ids // w)[None]  # [1, H*W]
+    widx = (hw_ids % w)[None]
+
+    out = pl.pallas_call(
+        functools.partial(_gather_kernel, height=h, width=w),
+        grid=(b, n // tn),
+        in_specs=[
+            pl.BlockSpec((1, tn, 1), lambda bi, ni: (bi, ni, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn, 1), lambda bi, ni: (bi, ni, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h * w), lambda bi, ni: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h * w), lambda bi, ni: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h * w, c), lambda bi, ni: (bi, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tn, c), lambda bi, ni: (bi, ni, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n, c), level.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(ch, cw, hidx, widx, f)
+    return out
+
+
+bilinear_lookup_pallas.defvjp(_lookup_fwd, _lookup_bwd)
+
+
+def lookup_pyramid_pallas(features: Sequence[jnp.ndarray], hw01: jnp.ndarray) -> jnp.ndarray:
+    """Pyramid lookup with the fused kernel (see ops.projective.lookup_pyramid)."""
+    hw01 = hw01.astype(jnp.float32)
+    out = []
+    for level in features:
+        _, h, w, _ = level.shape
+        coords = hw01 * jnp.array([h, w], dtype=jnp.float32)
+        out.append(bilinear_lookup_pallas(level, coords))
+    return jnp.concatenate(out, axis=-1)

@@ -67,7 +67,10 @@ def lookup_pyramid(
     """Look up every pyramid level and concatenate channels -> [B, N, sum Ci].
 
     Each level is scaled by its own (H, W) (ray.py:29: ``coords * [h, w]``).
-    Runs in fp32 (torch ref ray.py:99-110 forces fp32 under autocast).
+    Coordinates and interpolation weights are fp32 (torch ref ray.py:99-110
+    forces the lookup out of autocast); the gathered features keep their own
+    dtype — reading the pyramid in bf16 halves the gather traffic, the
+    dominant cost of the conditional denoiser eval.
     """
     if impl == "pallas":
         from gecco_tpu.ops.pallas.projective_gather import lookup_pyramid_pallas
@@ -79,5 +82,5 @@ def lookup_pyramid(
     for level in features:
         _, h, w, _ = level.shape
         coords = hw01 * jnp.array([h, w], dtype=jnp.float32)
-        out.append(bilinear_lookup(level.astype(jnp.float32), coords))
+        out.append(bilinear_lookup(level, coords))
     return jnp.concatenate(out, axis=-1)

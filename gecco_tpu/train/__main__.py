@@ -30,7 +30,7 @@ def execute(config_path: str):
     train_loader = config.make_train_loader()
     val_loader = config.make_val_loader()
 
-    metadata = {"date": datetime.datetime.utcnow().isoformat()}
+    metadata = {"date": datetime.datetime.now(datetime.timezone.utc).isoformat()}
     try:
         metadata["git-hash"] = (
             subprocess.check_output(

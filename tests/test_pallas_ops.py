@@ -43,3 +43,32 @@ def test_pallas_attention_grads_match_xla():
     gb = jax.grad(loss("pallas"), argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(ga, gb):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)
+
+
+def test_pallas_projective_gather_matches_xla():
+    from gecco_tpu.ops.projective import lookup_pyramid
+
+    feats = (
+        jax.random.normal(jax.random.PRNGKey(10), (2, 16, 16, 8)),
+        jax.random.normal(jax.random.PRNGKey(11), (2, 8, 8, 16)),
+    )
+    hw01 = jax.random.uniform(jax.random.PRNGKey(12), (2, 64, 2), minval=-0.1, maxval=1.1)
+    a = lookup_pyramid(feats, hw01, impl="xla")
+    b = lookup_pyramid(feats, hw01, impl="pallas")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_projective_gather_grads():
+    from gecco_tpu.ops.pallas.projective_gather import bilinear_lookup_pallas
+    from gecco_tpu.ops.projective import bilinear_lookup
+
+    level = jax.random.normal(jax.random.PRNGKey(13), (2, 8, 8, 4))
+    coords = jax.random.uniform(jax.random.PRNGKey(14), (2, 16, 2)) * 8.0
+
+    def loss(fn):
+        return lambda lv, co: (fn(lv, co) ** 2).sum()
+
+    ga = jax.grad(loss(bilinear_lookup), argnums=(0, 1))(level, coords)
+    gb = jax.grad(loss(bilinear_lookup_pallas), argnums=(0, 1))(level, coords)
+    for a, b in zip(ga, gb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
