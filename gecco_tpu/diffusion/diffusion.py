@@ -368,13 +368,19 @@ class Diffusion:
             return (x - self.denoise(sigma, x, ctx)) / sigma
 
         def aug_field(x, sigma):
-            def single(e):
-                f, jvp = jax.jvp(lambda y: field(y, sigma), (x,), (e,))
-                div = jnp.sum(jvp * e, axis=(-2, -1))  # [B]
-                return f, div
+            # VJP-based Hutchinson (eps^T J eps = (J^T eps) . eps), matching
+            # the reference's grad-of-dot formulation
+            # (models/diffusion.py:174-192). VJP (not JVP) because the Pallas
+            # attention is a custom_vjp function, which forward-mode autodiff
+            # cannot cross.
+            f, vjp_fn = jax.vjp(lambda y: field(y, sigma), x)
 
-            fs, divs = jax.vmap(single)(eps)
-            return fs[0], divs.mean(axis=0)
+            def single(e):
+                (jte,) = vjp_fn(e)
+                return jnp.sum(jte * e, axis=(-2, -1))  # [B]
+
+            divs = jax.vmap(single)(eps)
+            return f, divs.mean(axis=0)
 
         def body(carry, inp):
             x, logv = carry

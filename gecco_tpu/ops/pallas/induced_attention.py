@@ -68,6 +68,31 @@ def _attn_kernel(qT_ref, kT_ref, vT_ref, oT_ref, lse_ref, *, scale: float, num_h
         lse_ref[0, h] = m + jnp.log(l)
 
 
+def _attn_kernel_1h(qT_ref, kT_ref, vT_ref, oT_ref, lse_ref, *, scale: float):
+    """Single-head variant (heads on the grid) for shapes whose all-head kv
+    blocks exceed VMEM (e.g. the scaled 8k-point config)."""
+    qT = qT_ref[0, 0]
+    kT = kT_ref[0, 0]
+    vT = vT_ref[0, 0]
+    s = jax.lax.dot_general(
+        qT, kT, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    p = p / l
+    oT = jax.lax.dot_general(
+        vT, p.astype(vT.dtype), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    oT_ref[0, 0] = oT.astype(oT_ref.dtype)
+    lse_ref[0, 0] = m + jnp.log(l)
+
+
+# all-head kv VMEM budget for the unrolled-heads forward (bytes)
+_UNROLLED_KV_BUDGET = 6 * 1024 * 1024
+
+
 def _pick_tile(m: int) -> int:
     # 1024 measured fastest at N=2048 (24.9 vs 25.7 ms/eval); full-M blocks
     # at M>=2048 exceed the 16 MB VMEM
@@ -88,27 +113,56 @@ def _forward(q, k, v):
     kT = jnp.swapaxes(k, -1, -2)  # [B, H, D, N]
     vT = jnp.swapaxes(v, -1, -2)
 
-    oT, lse3 = pl.pallas_call(
-        functools.partial(_attn_kernel, scale=scale, num_heads=h),
-        grid=(b, m // tm),
-        in_specs=[
-            pl.BlockSpec((1, h, d, tm), lambda bi, mi: (bi, 0, 0, mi), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h, d, n), lambda bi, mi: (bi, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h, d, n), lambda bi, mi: (bi, 0, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, h, d, tm), lambda bi, mi: (bi, 0, 0, mi), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h, tm, 1), lambda bi, mi: (bi, 0, mi, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, h, d, m), q.dtype),
-            jax.ShapeDtypeStruct((b, h, m, 1), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")
-        ),
-        interpret=jax.default_backend() != "tpu",
-    )(qT, kT, vT)
+    kv_bytes = 2 * h * d * n * q.dtype.itemsize
+    # unrolled heads only when the all-head kv blocks fit VMEM and Mosaic
+    # won't keep too many per-head intermediates live (>8 unrolled heads
+    # measured to overflow the 16 MB scoped VMEM at M=8192)
+    if kv_bytes <= _UNROLLED_KV_BUDGET and h <= 8:
+        # unrolled heads: more MXU work per grid step (9.4 vs 7.7 clouds/s)
+        oT, lse3 = pl.pallas_call(
+            functools.partial(_attn_kernel, scale=scale, num_heads=h),
+            grid=(b, m // tm),
+            in_specs=[
+                pl.BlockSpec((1, h, d, tm), lambda bi, mi: (bi, 0, 0, mi), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, h, d, n), lambda bi, mi: (bi, 0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, h, d, n), lambda bi, mi: (bi, 0, 0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, h, d, tm), lambda bi, mi: (bi, 0, 0, mi), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, h, tm, 1), lambda bi, mi: (bi, 0, mi, 0), memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((b, h, d, m), q.dtype),
+                jax.ShapeDtypeStruct((b, h, m, 1), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary")
+            ),
+            interpret=jax.default_backend() != "tpu",
+        )(qT, kT, vT)
+    else:
+        # heads on the grid: bounded VMEM for large N x many-head configs
+        oT, lse3 = pl.pallas_call(
+            functools.partial(_attn_kernel_1h, scale=scale),
+            grid=(b, h, m // tm),
+            in_specs=[
+                pl.BlockSpec((1, 1, d, tm), lambda bi, hi, mi: (bi, hi, 0, mi), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, d, n), lambda bi, hi, mi: (bi, hi, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, d, n), lambda bi, hi, mi: (bi, hi, 0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, d, tm), lambda bi, hi, mi: (bi, hi, 0, mi), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, tm, 1), lambda bi, hi, mi: (bi, hi, mi, 0), memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((b, h, d, m), q.dtype),
+                jax.ShapeDtypeStruct((b, h, m, 1), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary")
+            ),
+            interpret=jax.default_backend() != "tpu",
+        )(qT, kT, vT)
     # Tie every kernel output into the result: jax's DCE otherwise prunes
     # unused pallas_call outputs (e.g. lse in remat's primal pass) and the
     # axon remote-compile helper crashes on the pruned call. A single-element

@@ -2,6 +2,7 @@ from gecco_tpu.vis.conditional3d import ConditionalRenderCallback, render_cloud
 from gecco_tpu.vis.trajectories import plot_trajectories_3d, trajectories_to_polylines
 from gecco_tpu.vis.vis2d import (
     make_denoise_callback,
+    make_logp_callback,
     make_sample_figures_callback,
     plot_trajectories_2d,
 )
@@ -17,6 +18,7 @@ __all__ = [
     "plot_trajectories_3d",
     "trajectories_to_polylines",
     "make_denoise_callback",
+    "make_logp_callback",
     "make_sample_figures_callback",
     "plot_trajectories_2d",
     "PCVisCallback",

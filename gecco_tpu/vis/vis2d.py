@@ -14,6 +14,7 @@ __all__ = [
     "plot_trajectories_2d",
     "make_sample_figures_callback",
     "make_denoise_callback",
+    "make_logp_callback",
 ]
 
 
@@ -65,6 +66,39 @@ def make_sample_figures_callback(
 
         traj_fig = plot_trajectories_2d(np.asarray(details.trajectory_data)[:, 0])
         logger.add_figure("samples/trajectories", figure=traj_fig, global_step=epoch)
+
+    return callback
+
+
+def make_logp_callback(data_points, grid_range: float = 2.0, grid_res: int = 24, key=None):
+    """Log-likelihood heatmap over a 2-D grid with the data overlaid
+    (vis2d.py:104-186). ``data_points``: one example [N, 2]."""
+    if key is None:
+        key = jax.random.PRNGKey(42)
+    data_points = np.asarray(data_points)
+
+    def callback(model, logger, epoch: int):
+        plt = _plt()
+        lin = np.linspace(-grid_range, grid_range, grid_res)
+        gx, gy = np.meshgrid(lin, lin)
+        grid = jnp.asarray(
+            np.stack([gx.ravel(), gy.ravel()], axis=-1)[:, None, :]
+        )  # [G, 1, 2] — one-point "clouds"
+        logp = np.asarray(
+            jax.jit(lambda m, k, x: m.evaluate_logp(k, x, n_solver_steps=8))(
+                model, key, grid
+            )
+        ).reshape(grid_res, grid_res)
+
+        fig, ax = plt.subplots(tight_layout=True)
+        im = ax.imshow(
+            logp,
+            origin="lower",
+            extent=[-grid_range, grid_range, -grid_range, grid_range],
+        )
+        ax.scatter(data_points[:, 0], data_points[:, 1], s=2, c="r")
+        fig.colorbar(im)
+        logger.add_figure("logp/heatmap", figure=fig, global_step=epoch)
 
     return callback
 
