@@ -10,8 +10,6 @@ from __future__ import annotations
 import os
 import re
 import threading
-from typing import List, Tuple
-
 import numpy as np
 
 from gecco_tpu.data.loader import ConcatDataset

@@ -17,7 +17,7 @@ every transition, which matches diffrax's fixed-grid Heun semantics.
 from __future__ import annotations
 
 import math
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

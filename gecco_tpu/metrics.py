@@ -12,7 +12,6 @@ Differences from the reference, TPU-first:
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Dict, Sequence
 
 import jax

@@ -18,13 +18,12 @@ native TPU conv layout) with:
 
 from __future__ import annotations
 
-from typing import Any, List, NamedTuple, Optional, Sequence
+from typing import Any, List, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from gecco_tpu.ops.norms import layer_norm
 from gecco_tpu.utils import Linear, module, static, splitter, stack_modules
 
 __all__ = [

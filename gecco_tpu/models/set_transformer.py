@@ -23,7 +23,6 @@ Skip-connection output projections are scaled by 0.1 at init
 
 from __future__ import annotations
 
-import math
 from typing import Any, Optional
 
 import jax

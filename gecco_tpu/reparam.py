@@ -13,8 +13,6 @@ gecco-torch/src/gecco_torch/reparam.py:14-201, redesigned batched:
 
 from __future__ import annotations
 
-from typing import Callable
-
 import jax
 import jax.numpy as jnp
 from jax.lax import stop_gradient

@@ -13,7 +13,6 @@ equivalent that needs no extra dependency beyond flax.
 
 from __future__ import annotations
 
-import dataclasses
 import math
 from typing import Any, Optional
 
