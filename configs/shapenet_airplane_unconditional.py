@@ -39,7 +39,7 @@ def make_model(key):
         feature_dim=384,
         num_inducers=64,
         embed_dim=1,
-        num_heads=8,
+        num_heads=8,  # reference parity; num_heads=3 (head_dim=128) is ~16% faster on TPU
         mlp_blowup=2,
         compute_dtype=jnp.bfloat16,
         attn_impl="pallas",

@@ -113,3 +113,29 @@ def test_shape_checks_raise():
     good = jnp.zeros((2, 16, 3))
     with pytest.raises(ValueError, match="does not match"):
         model.denoise(jnp.ones((3,)), good)
+
+
+def test_hyperparameter_fitting():
+    from gecco_tpu.data import dataloader
+    from gecco_tpu.types import Example
+    from gecco_tpu.utils.hyperparams import fit_gaussian_reparam, fit_sigma_max
+
+    class DS:
+        def __init__(self):
+            rng = np.random.default_rng(0)
+            self.clouds = rng.normal(1.0, 2.0, size=(16, 32, 3)).astype(np.float32)
+
+        def __len__(self):
+            return 16
+
+        def __getitem__(self, i):
+            return Example(self.clouds[i], None)
+
+    loader = dataloader(DS(), batch_size=4, fixed_sampler=True, num_workers=1)
+    reparam = fit_gaussian_reparam(loader, n_batches=4)
+    np.testing.assert_allclose(np.asarray(reparam.mean), [1.0] * 3, atol=0.4)
+    np.testing.assert_allclose(np.asarray(reparam.std), [2.0] * 3, atol=0.4)
+
+    loader2 = dataloader(DS(), batch_size=4, fixed_sampler=True, num_workers=1)
+    smax = fit_sigma_max(loader2, reparam=reparam, n_batches=2)
+    assert 2.0 < smax < 20.0  # normalised pairwise distances, N(0,1)-ish
