@@ -79,6 +79,42 @@ def time_denoise_step(model, reps=20):
     return times[len(times) // 2]  # p50
 
 
+def time_train_step(reps=5):
+    """Full train step (loss->grad->adabelief->EMA) at the reference's
+    batch 48, with remat + pallas attention (the training configs' setup)."""
+    import optax
+
+    from gecco_tpu.models import SetTransformer, UnconditionalPointNetwork
+    from gecco_tpu.train import make_train_step
+
+    key = jax.random.PRNGKey(0)
+    bk, nk = jax.random.split(key)
+    backbone = SetTransformer.init(
+        bk, n_layers=6, feature_dim=384, num_inducers=64, embed_dim=1,
+        num_heads=8, compute_dtype=jnp.bfloat16, attn_impl="pallas", remat=True,
+    )
+    net = UnconditionalPointNetwork.init(nk, backbone, feature_dim=384)
+    sched = LogUniformSchedule(sigma_max=165.0, sigma_min=0.002, n_solver_steps=N_STEPS)
+    model = Diffusion.init(net, sched, reparam=GaussianReparam.init([0.0] * 3, [0.35] * 3))
+    opt = optax.chain(optax.clip_by_global_norm(1.0), optax.adabelief(3e-4))
+    step = make_train_step(opt)
+    ema = jax.tree.map(jnp.copy, model)
+    opt_state = opt.init(model)
+    pts = 0.35 * jax.random.normal(jax.random.PRNGKey(1), (48, N_POINTS, 3))
+
+    loss, model, ema, opt_state = step(model, ema, opt_state, pts, None, key)
+    float(loss)
+    times = []
+    for i in range(reps):
+        t0 = time.perf_counter()
+        loss, model, ema, opt_state = step(
+            model, ema, opt_state, pts, None, jax.random.fold_in(key, i)
+        )
+        float(loss)
+        times.append(time.perf_counter() - t0)
+    return min(times)
+
+
 def main():
     optimized = build_model(jnp.bfloat16, attn_impl="pallas")
     clouds_per_sec = time_sampler(optimized, reps=3)
@@ -86,6 +122,11 @@ def main():
 
     baseline = build_model(jnp.float32, attn_impl="xla")
     baseline_clouds_per_sec = time_sampler(baseline, reps=2)
+
+    try:
+        train_step_s = time_train_step()
+    except Exception:
+        train_step_s = None
 
     result = {
         "metric": "sampled clouds/sec/chip (2048 pts, 128-step Heun ODE, batch 64)",
@@ -96,6 +137,12 @@ def main():
             "p50_denoiser_step_ms": round(p50_step * 1e3, 3),
             "baseline": "same architecture, fp32 (reference-style precision)",
             "baseline_clouds_per_sec": round(baseline_clouds_per_sec, 3),
+            "train_step_ms_batch48": (
+                round(train_step_s * 1e3, 1) if train_step_s else None
+            ),
+            "train_examples_per_sec": (
+                round(48 / train_step_s, 1) if train_step_s else None
+            ),
             "device": str(jax.devices()[0]),
         },
     }

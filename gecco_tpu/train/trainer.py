@@ -313,6 +313,7 @@ class Trainer:
         logger = make_writer(os.path.join(self.save_path, "tensorboard"))
         step = self.initial_step_number
         data = None
+        profile_start = None
         t_last = time.perf_counter()
         try:
             data_iter = iter(self.train_dataloader)
@@ -379,7 +380,7 @@ class Trainer:
                 if step >= self.num_steps:
                     break
 
-                if self.profile_path is not None and step == 25:
+                if self.profile_path is not None and step == 25 and profile_start is not None:
                     print(
                         f"Timed segment elapsed {time.perf_counter() - profile_start}s."
                     )
