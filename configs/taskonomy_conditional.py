@@ -80,4 +80,6 @@ def train(make_model, train_loader, val_loader, save_path):
         ),
         ema_alpha=0.999,
         n_validation_batches=8,
+        # axon runtime rejects donated executions for conv-containing models
+        donate_buffers=False,
     )

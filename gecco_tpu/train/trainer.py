@@ -63,6 +63,7 @@ def make_train_step(
     optimizer: optax.GradientTransformation,
     loss_scale: float = 1.0,
     ema_alpha: float = 0.999,
+    donate: bool = True,
 ):
     """Build the jitted full train step.
 
@@ -70,9 +71,13 @@ def make_train_step(
     (loss, model, ema, opt_state)``. Under a mesh, ``points``/``raw_ctx``
     arrive batch-sharded and the model replicated; XLA inserts the gradient
     all-reduce (replacing lax.pmean, models/diffusion.py:571-573).
+
+    ``donate=False`` disables buffer donation: the axon TPU runtime rejects
+    donated executions for models containing conv buffers (e.g. the ConvNeXt
+    conditioner) with an opaque INVALID_ARGUMENT.
     """
 
-    @partial(jax.jit, donate_argnums=(0, 1, 2))
+    @partial(jax.jit, donate_argnums=(0, 1, 2) if donate else ())
     def step(model, ema, opt_state, points, raw_ctx, key):
         def loss_fn(m):
             return m.loss(points, raw_ctx, key, loss_scale=loss_scale)
@@ -111,6 +116,7 @@ class Trainer:
     keep_all_checkpoints: bool = False
     mesh: Any = None
     shard_points: bool = False
+    donate_buffers: bool = True
     initial_step_number: int = 0
     current_best_metric: Dict[str, Tuple[int, float]] = field(default_factory=dict)
 
@@ -300,7 +306,10 @@ class Trainer:
         self.opt_state = replicate(self.opt_state, self.mesh)
 
         step_fn = make_train_step(
-            self.optimizer, loss_scale=self.loss_scale, ema_alpha=self.ema_alpha
+            self.optimizer,
+            loss_scale=self.loss_scale,
+            ema_alpha=self.ema_alpha,
+            donate=self.donate_buffers,
         )
 
         if self.profile_path is None and not self.skip_smoke_test:
@@ -345,7 +354,18 @@ class Trainer:
                         step_key,
                     )
 
-                loss_value = float(loss)
+                try:
+                    loss_value = float(loss)
+                except Exception as e:
+                    if self.donate_buffers and step == self.initial_step_number:
+                        raise RuntimeError(
+                            "First train step failed at runtime. If the model "
+                            "contains conv buffers (e.g. a ConvNeXt "
+                            "conditioner), the TPU runtime may reject donated "
+                            "executions — retry with "
+                            "Trainer(donate_buffers=False)."
+                        ) from e
+                    raise
                 if not math.isfinite(loss_value):
                     raise NaNError("NaN loss")
 
