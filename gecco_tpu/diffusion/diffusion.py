@@ -132,6 +132,21 @@ class Diffusion:
 
     # -- sampling --
 
+    @staticmethod
+    def _tile_ctx(ctx, n: int):
+        """Repeat every batched ctx leaf n times along the batch axis —
+        the batched equivalent of the reference's vmap-over-n-sample-keys
+        sharing one conditioned context (models/diffusion.py:415-439)."""
+        if n == 1:
+            return ctx
+
+        def _tile(x):
+            if hasattr(x, "ndim") and x.ndim >= 1:
+                return jnp.repeat(x, n, axis=0)
+            return x
+
+        return jax.tree.map(_tile, ctx)
+
     def sample(
         self,
         key: jax.Array,
@@ -141,15 +156,21 @@ class Diffusion:
         n_solver_steps: Optional[int] = None,
         temperature: float = 1.0,
         return_details: bool = False,
+        n: int = 1,
     ):
         """Deterministic probability-flow (Heun) sampler over the Karras grid
         (models/diffusion.py:333-439). Grid: ``[t_0 .. t_{N-1}]``, every
-        transition second-order (diffrax StepTo semantics)."""
+        transition second-order (diffrax StepTo semantics).
+
+        ``n > 1`` draws n samples per context: the conditioner runs once,
+        its output is tiled, and ``shape[0]`` must equal ctx_batch * n.
+        """
         if (ctx is not None) and (raw_ctx is not None):
             raise ValueError("Both `ctx` and `raw_ctx` were provided.")
         cond_key, latent_key, ode_key = jax.random.split(key, 3)
         if ctx is None:
             ctx = self.cond(raw_ctx, key=cond_key)
+        ctx = self._tile_ctx(ctx, n)
 
         sigmas = self.schedule.solver_grid(n_solver_steps)
         latent = temperature * self.schedule.sample_latent(latent_key, shape)
@@ -185,14 +206,17 @@ class Diffusion:
         s_churn: float = 0.0,
         s_noise: float = 1.0,
         n_solver_steps: Optional[int] = None,
+        n: int = 1,
     ) -> jnp.ndarray:
         """EDM stochastic sampler (models/stochastic.py:13-98): extended grid
-        ``[t_0 .. t_N]``, Euler-only final transition."""
+        ``[t_0 .. t_N]``, Euler-only final transition. ``n > 1`` draws n
+        samples per context (conditioner runs once)."""
         if (ctx is not None) and (raw_ctx is not None):
             raise ValueError("Both `ctx` and `raw_ctx` were provided.")
         cond_key, init_key, loop_key = jax.random.split(key, 3)
         if ctx is None:
             ctx = self.cond(raw_ctx, key=cond_key)
+        ctx = self._tile_ctx(ctx, n)
 
         sched = (
             self.schedule

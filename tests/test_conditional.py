@@ -235,3 +235,16 @@ def test_conditional_sampling():
     )(model, jax.random.PRNGKey(4), ctx)
     assert samples.shape == (2, 16, 3)
     assert np.isfinite(np.asarray(samples)).all()
+
+
+def test_n_samples_per_context():
+    """n>1 tiles the conditioned context: samples for copies of the same
+    image come from the same conditional distribution (reference sample(n=..)
+    semantics, models/diffusion.py:415-439)."""
+    model = _conditional_model(jax.random.PRNGKey(0))
+    _, ctx = _frustum_batch(jax.random.PRNGKey(3), b=2, n=16)
+    samples = jax.jit(
+        lambda m, k, c: m.sample_stochastic(k, (6, 16, 3), raw_ctx=c, n=3)
+    )(model, jax.random.PRNGKey(4), ctx)
+    assert samples.shape == (6, 16, 3)
+    assert np.isfinite(np.asarray(samples)).all()
