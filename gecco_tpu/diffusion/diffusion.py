@@ -6,9 +6,10 @@ in one batched TPU-native class:
 
 - everything is batched ``[B, N, D]``; no per-example vmap;
 - samplers are ``lax.scan`` programs (gecco_tpu/diffusion/samplers.py);
-- the exact-likelihood augmented ODE uses JVP-based Hutchinson divergence
-  inside the same scan (reference: VJP via ``jax.grad``,
-  models/diffusion.py:174-192);
+- the exact-likelihood augmented ODE uses VJP-based Hutchinson divergence
+  inside the same scan (matching the reference's grad-of-dot formulation,
+  models/diffusion.py:174-192; VJP rather than JVP because the Pallas
+  attention is a custom_vjp function);
 - the conditioner runs once per batch and its output is shared by every
   solver step (models/diffusion.py:430).
 """
@@ -20,7 +21,12 @@ from typing import Any, Optional
 import jax
 import jax.numpy as jnp
 
-from gecco_tpu.diffusion.samplers import heun_sampler, inpaint_sampler
+from gecco_tpu.diffusion.samplers import (
+    churn_gamma,
+    heun_sampler,
+    heun_step,
+    inpaint_sampler,
+)
 from gecco_tpu.diffusion.schedule import Schedule
 from gecco_tpu.reparam import Reparam
 from gecco_tpu.types import LogpDetails, SampleDetails
@@ -87,15 +93,20 @@ class Diffusion:
         ctx: Any = None,
         hs: Optional[jnp.ndarray] = None,
         return_h: bool = False,
+        key: Optional[jax.Array] = None,
     ):
-        """D(x; sigma) with EDM pre/post-conditioning. ``sigma``: scalar or [B]."""
+        """D(x; sigma) with EDM pre/post-conditioning. ``sigma``: scalar or [B].
+
+        ``key`` enables train-time stochastic layers (dropout) in the network;
+        inference (key=None) is deterministic — the analog of the reference's
+        eqx inference mode (training.py:472-475)."""
         sig = self._broadcast_sigma(sigma, x)
         c_in = self.schedule.c_in(sig)[:, None, None]
         c_noise = self.schedule.c_noise(sig)
         c_skip = self.schedule.c_skip(sig)[:, None, None]
         c_out = self.schedule.c_out(sig)[:, None, None]
 
-        out = self.network(c_noise, c_in * x, ctx, hs=hs, return_h=return_h)
+        out = self.network(c_noise, c_in * x, ctx, hs=hs, return_h=return_h, key=key)
         if return_h:
             f, stored = out
             return c_skip * x + c_out * f, stored
@@ -113,9 +124,19 @@ class Diffusion:
         raw_ctx: Any,
         key: jax.Array,
         loss_scale: float = 1.0,
+        train_in_inference_mode: bool = False,
     ) -> jnp.ndarray:
+        """Denoising score-matching loss (models/diffusion.py:264-308).
+
+        ``train_in_inference_mode=True`` withholds the network PRNG key so
+        stochastic layers (dropout) run deterministically during training —
+        the reference Trainer's flag of the same name (training.py:158,
+        472-475)."""
+        from gecco_tpu.utils.checks import check_points
+
+        check_points(points, "points")
         b = points.shape[0]
-        sigma_key, noise_key, cond_key = jax.random.split(key, 3)
+        sigma_key, noise_key, cond_key, net_key = jax.random.split(key, 4)
 
         x = self.reparam.data_to_diffusion(points, raw_ctx)
         ctx = self.cond(raw_ctx, key=cond_key)
@@ -124,7 +145,12 @@ class Diffusion:
         noise = jax.random.normal(noise_key, x.shape, x.dtype)
         perturbed = x + sigma[:, None, None] * noise
 
-        x_hat = self.denoise(sigma, perturbed, ctx)
+        x_hat = self.denoise(
+            sigma,
+            perturbed,
+            ctx,
+            key=None if train_in_inference_mode else net_key,
+        )
         weight = self.schedule.loss_weight(sigma)  # [B]
         div_fn = self.divergence_fn if self.divergence_fn is not None else mse
         divergence = div_fn(x_hat, x)  # [B]
@@ -167,6 +193,8 @@ class Diffusion:
         """
         if (ctx is not None) and (raw_ctx is not None):
             raise ValueError("Both `ctx` and `raw_ctx` were provided.")
+        if len(shape) != 3:
+            raise ValueError(f"shape must be (B, N, D), got {shape}")
         cond_key, latent_key, ode_key = jax.random.split(key, 3)
         if ctx is None:
             ctx = self.cond(raw_ctx, key=cond_key)
@@ -213,6 +241,8 @@ class Diffusion:
         samples per context (conditioner runs once)."""
         if (ctx is not None) and (raw_ctx is not None):
             raise ValueError("Both `ctx` and `raw_ctx` were provided.")
+        if len(shape) != 3:
+            raise ValueError(f"shape must be (B, N, D), got {shape}")
         cond_key, init_key, loop_key = jax.random.split(key, 3)
         if ctx is None:
             ctx = self.cond(raw_ctx, key=cond_key)
@@ -252,6 +282,9 @@ class Diffusion:
         """Completion via RePaint-style resampling (models/stochastic.py:101-231)."""
         if (ctx is not None) and (raw_ctx is not None):
             raise ValueError("Both `ctx` and `raw_ctx` were provided.")
+        from gecco_tpu.utils.checks import check_points
+
+        check_points(known, "known")
         cond_key, loop_key = jax.random.split(key)
         if ctx is None:
             ctx = self.cond(raw_ctx, key=cond_key)
@@ -290,6 +323,9 @@ class Diffusion:
         """
         if (ctx is not None) and (raw_ctx is not None):
             raise ValueError("Both `ctx` and `raw_ctx` were provided.")
+        from gecco_tpu.utils.checks import check_points
+
+        check_points(data, "data")
         cond_key, latent_key, loop_key = jax.random.split(key, 3)
         if ctx is None:
             ctx = self.cond(raw_ctx, key=cond_key)
@@ -297,9 +333,7 @@ class Diffusion:
         data_diff = self.reparam.data_to_diffusion(data, ctx)
         sigmas = self.schedule.extended_solver_grid()
         n_transitions = sigmas.shape[0] - 1
-        import math
-
-        gamma = min(s_churn / n_transitions, math.sqrt(2.0) - 1.0)
+        gamma = churn_gamma(s_churn, n_transitions)
 
         b, _, d = data.shape
         x_init = sigmas[0] * jax.random.normal(latent_key, (b, n_new, d))
@@ -314,26 +348,27 @@ class Diffusion:
                 ctx_noise_key, data_diff.shape
             )
             _, cache = self.denoise(s_cur, noisy_data, ctx, return_h=True)
+            cached_denoise = lambda s, x_: self.denoise(s, x_, ctx, hs=cache)
 
             def inner_body(j, x_and_rng):
                 x, rng = x_and_rng
                 rng, churn_key, redo_key = jax.random.split(rng, 3)
 
-                s_hat = s_cur * (1.0 + gamma)
-                churn_std = jnp.sqrt(jnp.maximum(s_hat**2 - s_cur**2, 0.0)) * s_noise
-                x_hat = x + churn_std * jax.random.normal(churn_key, x.shape)
+                x_next = heun_step(
+                    cached_denoise,
+                    x,
+                    s_cur,
+                    s_next,
+                    gamma=gamma,
+                    s_noise=s_noise,
+                    key=churn_key if gamma > 0.0 else None,
+                    second_order=jnp.logical_not(last),
+                )
 
-                denoised = self.denoise(s_hat, x_hat, ctx, hs=cache)
-                d_cur = (x_hat - denoised) / s_hat
-                x_euler = x_hat + (s_next - s_hat) * d_cur
-
-                def second_order(x_e):
-                    denoised2 = self.denoise(s_next, x_e, ctx, hs=cache)
-                    d_prime = (x_e - denoised2) / s_next
-                    return x_hat + (s_next - s_hat) * (0.5 * d_cur + 0.5 * d_prime)
-
-                x_next = jax.lax.cond(last, lambda v: v, second_order, x_euler)
-
+                # re-noise up between substeps; unlike inpaint_sampler (which
+                # matches the reference, stochastic.py:165-174) the redo is
+                # additionally skipped on the final noise level so the last
+                # substep's output is returned as-is (torch diffusion.py:438-450)
                 def redo(v):
                     std = jnp.sqrt(jnp.maximum(s_cur**2 - s_next**2, 0.0))
                     return v + std * jax.random.normal(redo_key, v.shape)
@@ -368,10 +403,13 @@ class Diffusion:
         return_details: bool = False,
     ):
         """Exact log-likelihood via the reverse probability-flow ODE with
-        Hutchinson trace estimation (JVP-based, one noise draw per trajectory
+        Hutchinson trace estimation (VJP-based, one noise draw per trajectory
         as in the reference's fixed ``noise_key``)."""
         if (ctx is not None) and (raw_ctx is not None):
             raise ValueError("Both `ctx` and `raw_ctx` were provided.")
+        from gecco_tpu.utils.checks import check_points
+
+        check_points(data, "data")
         cond_key, noise_key = jax.random.split(key)
         if ctx is None:
             ctx = self.cond(raw_ctx, key=cond_key)

@@ -168,11 +168,12 @@ class Broadcast:
         embed: jnp.ndarray,
         h: Optional[jnp.ndarray] = None,
         attn_impl: str = "xla",
+        key: Optional[jax.Array] = None,
     ) -> tuple[jnp.ndarray, jnp.ndarray]:
         if h is None:
             h = self.pool(x, attn_impl=attn_impl)
             h = self.norm_1(h, embed)
-            h = self.mlp(h)
+            h = self.mlp(h, key=key)
             h = self.norm_2(h, embed)
         return self.unpool(x, h, attn_impl=attn_impl), h
 
@@ -239,12 +240,14 @@ class BroadcastingLayer:
         embed: jnp.ndarray,
         h: Optional[jnp.ndarray] = None,
         attn_impl: str = "xla",
+        key: Optional[jax.Array] = None,
     ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        bkey, mkey = (None, None) if key is None else jax.random.split(key)
         y = self.broadcast_norm(x, embed)
-        x_b, h = self.broadcast(y, embed, h=h, attn_impl=attn_impl)
+        x_b, h = self.broadcast(y, embed, h=h, attn_impl=attn_impl, key=bkey)
         x = x + x_b
         y = self.mlp_norm(x, embed)
-        x = x + self.mlp(y)
+        x = x + self.mlp(y, key=mkey)
         return x, h
 
 
@@ -313,6 +316,7 @@ class SetTransformer:
         embed: jnp.ndarray,
         hs: Optional[jnp.ndarray] = None,
         return_h: bool = False,
+        key: Optional[jax.Array] = None,
     ):
         in_dtype = features.dtype
         x = features.astype(self.compute_dtype)
@@ -320,14 +324,27 @@ class SetTransformer:
         impl = self.attn_impl
 
         if hs is None:
+            if key is not None:
+                # one dropout key per layer, threaded as a scanned input
+                layer_keys = jax.random.split(key, self.n_layers)
 
-            def body(x, layer):
-                x, h = layer(x, embed, attn_impl=impl)
-                return x, (h if return_h else None)
+                def body(x, layer_and_key):
+                    layer, k = layer_and_key
+                    x, h = layer(x, embed, attn_impl=impl, key=k)
+                    return x, (h if return_h else None)
+
+                xs = (self.layers, layer_keys)
+            else:
+
+                def body(x, layer):
+                    x, h = layer(x, embed, attn_impl=impl)
+                    return x, (h if return_h else None)
+
+                xs = self.layers
 
             if self.remat:
                 body = jax.checkpoint(body)
-            x, stored = jax.lax.scan(body, x, self.layers)
+            x, stored = jax.lax.scan(body, x, xs)
         else:
 
             def body_cached(x, layer_and_h):

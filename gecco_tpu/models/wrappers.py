@@ -67,10 +67,10 @@ class UnconditionalPointNetwork:
         return_h: bool = False,
         key: Optional[jax.Array] = None,
     ):
-        del ctx, key
+        del ctx
         features = self.xyz_embed(x)  # [B, N, C]
         embed = t[..., None]  # [B, 1] — raw noise level as the embed vector
-        out = self.backbone(features, embed, hs=hs, return_h=return_h)
+        out = self.backbone(features, embed, hs=hs, return_h=return_h, key=key)
         if return_h:
             processed, stored = out
             return self._head(processed, x.dtype), stored
@@ -115,13 +115,12 @@ class GlobalConditioningNetwork:
         return_h: bool = False,
         key: Optional[jax.Array] = None,
     ):
-        del key
         (global_features,) = ctx.features  # [B, h, w, C]
         img_embed = global_features.mean(axis=(-3, -2))  # [B, C]
         embed = jnp.concatenate([t[..., None], img_embed], axis=-1)
 
         features = self.xyz_embed(x)
-        out = self.backbone(features, embed, hs=hs, return_h=return_h)
+        out = self.backbone(features, embed, hs=hs, return_h=return_h, key=key)
         if return_h:
             processed, stored = out
             normed = group_norm(processed, num_groups=self.output_norm_groups)
@@ -188,13 +187,12 @@ class RayNetwork:
         return_h: bool = False,
         key: Optional[jax.Array] = None,
     ):
-        del key
         xyz_features = self.xyz_embed(x)
         img_features = self._extract_ctx_features(x, ctx).astype(xyz_features.dtype)
         features = xyz_features + img_features
         embed = t[..., None]
 
-        out = self.backbone(features, embed, hs=hs, return_h=return_h)
+        out = self.backbone(features, embed, hs=hs, return_h=return_h, key=key)
         if return_h:
             processed, stored = out
             normed = group_norm(processed, num_groups=self.output_norm_groups)

@@ -64,6 +64,7 @@ def make_train_step(
     loss_scale: float = 1.0,
     ema_alpha: float = 0.999,
     donate: bool = True,
+    train_in_inference_mode: bool = False,
 ):
     """Build the jitted full train step.
 
@@ -80,7 +81,13 @@ def make_train_step(
     @partial(jax.jit, donate_argnums=(0, 1, 2) if donate else ())
     def step(model, ema, opt_state, points, raw_ctx, key):
         def loss_fn(m):
-            return m.loss(points, raw_ctx, key, loss_scale=loss_scale)
+            return m.loss(
+                points,
+                raw_ctx,
+                key,
+                loss_scale=loss_scale,
+                train_in_inference_mode=train_in_inference_mode,
+            )
 
         # named regions appear in jax.profiler traces
         # (reference: annotate_function, models/diffusion.py:568-577)
@@ -117,6 +124,9 @@ class Trainer:
     mesh: Any = None
     shard_points: bool = False
     donate_buffers: bool = True
+    # run stochastic layers (dropout) deterministically during training — the
+    # reference Trainer's flag of the same name (training.py:158, 472-475)
+    train_in_inference_mode: bool = False
     initial_step_number: int = 0
     current_best_metric: Dict[str, Tuple[int, float]] = field(default_factory=dict)
 
@@ -215,10 +225,12 @@ class Trainer:
     def _to_device(self, data: Example) -> Example:
         return shard_batch(data, self.mesh, shard_points=self.shard_points)
 
-    def _metrics_single_dataset(self, dataloader, n_batches=None) -> Dict[str, float]:
+    def _metrics_single_dataset(
+        self, dataloader, n_batches=None, phase_key=None
+    ) -> Dict[str, float]:
         model = self.inference_model
         outputs = defaultdict(list)
-        key = self.val_key
+        key = self.val_key if phase_key is None else phase_key
 
         for val_step, data in enumerate(dataloader):
             example = self._to_device(Example(*data).discard_extras()
@@ -235,21 +247,29 @@ class Trainer:
 
         return {k: float(np.mean(np.concatenate(v))) for k, v in outputs.items()}
 
-    def metrics_loop(self, n_batches=None) -> Dict[str, float]:
+    def metrics_loop(self, n_batches=None, phase_key=None) -> Dict[str, float]:
         if isinstance(self.val_dataloader, (list, tuple)):
             metrics = {}
             for subset in self.val_dataloader:
                 assert getattr(subset, "name", None), "multi-val loaders need names"
-                sub = self._metrics_single_dataset(subset, n_batches=n_batches)
+                sub = self._metrics_single_dataset(
+                    subset, n_batches=n_batches, phase_key=phase_key
+                )
                 metrics.update({f"{subset.name}/{k}": v for k, v in sub.items()})
             return metrics
-        return self._metrics_single_dataset(self.val_dataloader, n_batches=n_batches)
+        return self._metrics_single_dataset(
+            self.val_dataloader, n_batches=n_batches, phase_key=phase_key
+        )
 
     def validation_phase(self, step: int, logger, _smoke_test: bool = False):
         n_batches = 2 if _smoke_test else self.n_validation_batches
-        metrics = self.metrics_loop(n_batches=n_batches)
-
+        # advance the metric PRNG per validation phase (fold in the phase id,
+        # deterministic across resumes) so stochastic metrics (SupervisedMetric
+        # sampling, logp Hutchinson noise) don't silently reuse one noise draw
+        # forever and hide their variance
         val_phase_id = step // self.save_every
+        phase_key = jax.random.fold_in(self.val_key, val_phase_id)
+        metrics = self.metrics_loop(n_batches=n_batches, phase_key=phase_key)
         for k, v in metrics.items():
             logger.add_scalar(f"val-means/{k}", scalar_value=v, global_step=val_phase_id)
             self._maybe_save_best_metric(k, v, step, _smoke_test)
@@ -310,6 +330,7 @@ class Trainer:
             loss_scale=self.loss_scale,
             ema_alpha=self.ema_alpha,
             donate=self.donate_buffers,
+            train_in_inference_mode=self.train_in_inference_mode,
         )
 
         if self.profile_path is None and not self.skip_smoke_test:

@@ -139,3 +139,98 @@ def test_hyperparameter_fitting():
     loader2 = dataloader(DS(), batch_size=4, fixed_sampler=True, num_workers=1)
     smax = fit_sigma_max(loader2, reparam=reparam, n_batches=2)
     assert 2.0 < smax < 20.0  # normalised pairwise distances, N(0,1)-ish
+
+
+def test_shape_checks_on_all_entry_points():
+    import pytest
+
+    model = _tiny(jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(1)
+    bad = jnp.zeros((16, 3))  # missing batch dim
+    with pytest.raises(ValueError, match="B, N, D"):
+        model.loss(bad, None, key)
+    with pytest.raises(ValueError, match="B, N, D"):
+        model.sample_inpaint(key, bad, 4)
+    with pytest.raises(ValueError, match="B, N, D"):
+        model.upsample(key, bad, 4)
+    with pytest.raises(ValueError, match="B, N, D"):
+        model.evaluate_logp(key, bad)
+    with pytest.raises(ValueError, match="shape must be"):
+        model.sample(key, (16, 3))
+    with pytest.raises(ValueError, match="shape must be"):
+        model.sample_stochastic(key, (16, 3))
+
+
+def test_dropout_key_plumbing_and_inference_mode():
+    """With dropout_p > 0 the loss must be stochastic in training mode and
+    deterministic in train_in_inference_mode (reference training.py:158,
+    472-475: eqx.tree_inference toggling dropout)."""
+    from gecco_tpu.models.mlp import MLP
+
+    key = jax.random.PRNGKey(0)
+    bk, nk = jax.random.split(key)
+    backbone = SetTransformer.init(
+        bk, n_layers=2, feature_dim=32, num_inducers=4, embed_dim=1, num_heads=4,
+        compute_dtype=jnp.float32,
+    )
+    # switch on dropout in every MLP of the stacked layers
+    backbone = jax.tree.map(
+        lambda m: m.replace(dropout_p=0.5) if isinstance(m, MLP) else m,
+        backbone,
+        is_leaf=lambda m: isinstance(m, MLP),
+    )
+    net = UnconditionalPointNetwork.init(nk, backbone, feature_dim=32)
+    sched = LogUniformSchedule(sigma_max=10.0, n_solver_steps=8)
+    model = Diffusion.init(net, sched)
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 16, 3))
+    k = jax.random.PRNGKey(2)
+
+    # training mode: two different keys give different losses (dropout fires)
+    l1 = float(model.loss(x, None, jax.random.fold_in(k, 0)))
+    # same key, same loss: determinism given the key
+    l1_again = float(model.loss(x, None, jax.random.fold_in(k, 0)))
+    assert l1 == l1_again
+
+    # inference mode: dropout off -> differs from training mode with same key
+    l_inf = float(
+        model.loss(x, None, jax.random.fold_in(k, 0), train_in_inference_mode=True)
+    )
+    assert l_inf != l1
+
+    # inference mode ignores the network key entirely: the only remaining
+    # stochasticity is sigma/noise sampling, which is key-determined
+    l_inf2 = float(
+        model.loss(x, None, jax.random.fold_in(k, 0), train_in_inference_mode=True)
+    )
+    assert l_inf == l_inf2
+
+
+def test_ode_sampler_matches_pre_churn_refactor():
+    """The s_churn=0 static fast path must be bit-identical to the generic
+    path's math (churn noise with std 0 added nothing, but consumed RNG; the
+    result itself is deterministic so values must match exactly)."""
+    from gecco_tpu.diffusion.samplers import heun_sampler
+
+    model = _tiny(jax.random.PRNGKey(0))
+    sigmas = model.schedule.solver_grid()
+    x0 = 10.0 * jax.random.normal(jax.random.PRNGKey(3), (2, 16, 3))
+    denoise_fn = lambda s, x: model.denoise(s, x)
+
+    x_fast, _ = heun_sampler(
+        denoise_fn, sigmas, x0, jax.random.PRNGKey(4), s_churn=0.0, heun_on_last=True
+    )
+    # reference slow path: explicitly add zero-std churn noise
+    def slow(x, key):
+        for i in range(sigmas.shape[0] - 1):
+            key, ck = jax.random.split(key)
+            s_cur, s_next = sigmas[i], sigmas[i + 1]
+            x = x + 0.0 * jax.random.normal(ck, x.shape)
+            d = (x - denoise_fn(s_cur, x)) / s_cur
+            x_e = x + (s_next - s_cur) * d
+            d2 = (x_e - denoise_fn(s_next, x_e)) / s_next
+            x = x + (s_next - s_cur) * 0.5 * (d + d2)
+        return x
+
+    x_ref = slow(x0, jax.random.PRNGKey(4))
+    np.testing.assert_allclose(np.asarray(x_fast), np.asarray(x_ref), rtol=1e-5)
