@@ -241,13 +241,19 @@ class BroadcastingLayer:
         h: Optional[jnp.ndarray] = None,
         attn_impl: str = "xla",
         key: Optional[jax.Array] = None,
+        mlp_on_unnormed: bool = False,
     ) -> tuple[jnp.ndarray, jnp.ndarray]:
         bkey, mkey = (None, None) if key is None else jax.random.split(key)
         y = self.broadcast_norm(x, embed)
         x_b, h = self.broadcast(y, embed, h=h, attn_impl=attn_impl, key=bkey)
         x = x + x_b
         y = self.mlp_norm(x, embed)
-        x = x + self.mlp(y, key=mkey)
+        # gecco-jax applies the second MLP to the *un-normed* residual stream
+        # (its mlp_norm output is computed then discarded,
+        # models/set_transformer.py:216-217); gecco-torch — and we, by
+        # default — use the normed stream. ``mlp_on_unnormed=True``
+        # reproduces the jax behavior bit-for-bit for checkpoint parity.
+        x = x + self.mlp(x if mlp_on_unnormed else y, key=mkey)
         return x, h
 
 
@@ -271,6 +277,10 @@ class SetTransformer:
     # ~1/3 extra forward FLOPs for O(1)-in-depth activation memory — needed
     # to train the flagship config at batch 48 within a v5e's 16 GB HBM
     remat: bool = static(default=False)
+    # reproduce gecco-jax's second-MLP-on-unnormed-stream quirk (see
+    # BroadcastingLayer.__call__) — set True when loading converted reference
+    # checkpoints so the forward function matches theirs exactly
+    ref_jax_compat: bool = static(default=False)
 
     @classmethod
     def init(
@@ -287,6 +297,7 @@ class SetTransformer:
         compute_dtype: Any = jnp.bfloat16,
         attn_impl: str = "xla",
         remat: bool = False,
+        ref_jax_compat: bool = False,
     ) -> "SetTransformer":
         keys = jax.random.split(key, n_layers)
         layers = [
@@ -308,6 +319,7 @@ class SetTransformer:
             compute_dtype=compute_dtype,
             attn_impl=attn_impl,
             remat=remat,
+            ref_jax_compat=ref_jax_compat,
         )
 
     def __call__(
@@ -323,6 +335,7 @@ class SetTransformer:
         embed = embed.astype(self.compute_dtype)
         impl = self.attn_impl
 
+        unnormed = self.ref_jax_compat
         if hs is None:
             if key is not None:
                 # one dropout key per layer, threaded as a scanned input
@@ -330,14 +343,16 @@ class SetTransformer:
 
                 def body(x, layer_and_key):
                     layer, k = layer_and_key
-                    x, h = layer(x, embed, attn_impl=impl, key=k)
+                    x, h = layer(
+                        x, embed, attn_impl=impl, key=k, mlp_on_unnormed=unnormed
+                    )
                     return x, (h if return_h else None)
 
                 xs = (self.layers, layer_keys)
             else:
 
                 def body(x, layer):
-                    x, h = layer(x, embed, attn_impl=impl)
+                    x, h = layer(x, embed, attn_impl=impl, mlp_on_unnormed=unnormed)
                     return x, (h if return_h else None)
 
                 xs = self.layers
@@ -349,7 +364,13 @@ class SetTransformer:
 
             def body_cached(x, layer_and_h):
                 layer, h = layer_and_h
-                x, _ = layer(x, embed, h=h.astype(x.dtype), attn_impl=impl)
+                x, _ = layer(
+                    x,
+                    embed,
+                    h=h.astype(x.dtype),
+                    attn_impl=impl,
+                    mlp_on_unnormed=unnormed,
+                )
                 return x, None
 
             x, stored = jax.lax.scan(body_cached, x, (self.layers, hs))
