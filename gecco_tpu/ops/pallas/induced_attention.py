@@ -23,6 +23,24 @@ cross-grid-step accumulation). All kernel outputs are tied into the result
 value because jax-level DCE of unused pallas outputs also crashes the
 compile helper.
 
+SPMD: the forward and backward are wrapped in ``custom_partitioning`` so the
+kernels run under jit over a device mesh (replacing the reference's
+``lax.pmean`` data parallelism, models/diffusion.py:571-573):
+
+- batch and head axes partition freely (the flagship data-parallel path);
+- the query axis M partitions in the FORWARD — under point/sequence sharding
+  the unpool (N queries x I keys) computes its local query tile with zero
+  communication, while the pool's point-sharded k/v are all-gathered (I~64
+  pooled tokens are replicated anyway);
+- the backward marks M need-replication too (dk/dv reduce over M): seq-
+  sharded training gathers the point axis around the attention backward.
+  Correct first, optimal later — the flagship configs train data-parallel.
+
+Both partitioner stacks are supported: an SDY sharding rule (shardy) and the
+classic partition/infer callbacks (GSPMD). Autodiff never differentiates
+through the custom_partitioning wrappers (which have no JVP rule): they sit
+INSIDE the custom_vjp forward/backward.
+
 Falls back to interpret mode off-TPU so the same path is testable on CPU.
 """
 
@@ -35,8 +53,15 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+from jax.experimental.custom_partitioning import custom_partitioning
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 __all__ = ["rect_attention_pallas"]
+
+
+def _spec_dim(sharding, i):
+    spec = getattr(sharding, "spec", None)
+    return spec[i] if spec is not None and i < len(spec) else None
 
 
 def _attn_kernel(qT_ref, kT_ref, vT_ref, oT_ref, lse_ref, *, scale: float, num_heads: int):
@@ -102,7 +127,7 @@ def _pick_tile(m: int) -> int:
     return m
 
 
-def _forward(q, k, v):
+def _forward_impl(q, k, v):
     """q: [B, H, M, D], k/v: [B, H, N, D] -> (o [B, H, M, D], lse [B, H, M])."""
     b, h, m, d = q.shape
     n = k.shape[2]
@@ -171,6 +196,37 @@ def _forward(q, k, v):
     return jnp.swapaxes(oT, -1, -2), lse3[..., 0]
 
 
+# -- SPMD wrapping (see module docstring) --
+
+_forward = custom_partitioning(_forward_impl)
+
+
+def _fwd_shardings(mesh, q_sharding):
+    b, h, m = (_spec_dim(q_sharding, i) for i in range(3))
+    q_sh = NamedSharding(mesh, P(b, h, m, None))
+    kv_sh = NamedSharding(mesh, P(b, h, None, None))
+    lse_sh = NamedSharding(mesh, P(b, h, m))
+    return q_sh, kv_sh, lse_sh
+
+
+def _fwd_partition(mesh, arg_shapes, result_shape):
+    q_sh, kv_sh, lse_sh = _fwd_shardings(mesh, arg_shapes[0].sharding)
+    return mesh, _forward_impl, (q_sh, lse_sh), (q_sh, kv_sh, kv_sh)
+
+
+def _fwd_infer(mesh, arg_shapes, result_shape):
+    q_sh, _, lse_sh = _fwd_shardings(mesh, arg_shapes[0].sharding)
+    return (q_sh, lse_sh)
+
+
+_forward.def_partition(
+    _fwd_partition,
+    infer_sharding_from_operands=_fwd_infer,
+    sharding_rule="b h m d, b h n d, b h n d -> b h m d, b h m",
+    need_replication_factors=("d", "n"),
+)
+
+
 @jax.custom_vjp
 def _rect_attention_core(q, k, v):
     o, _ = _forward(q, k, v)
@@ -228,7 +284,7 @@ def _bwd_kernel(
     )
 
 
-def _backward(q, k, v, o, lse, g):
+def _backward_impl(q, k, v, o, lse, g):
     b, h, m, d = q.shape
     n = k.shape[2]
     scale = 1.0 / math.sqrt(d)
@@ -277,6 +333,39 @@ def _backward(q, k, v, o, lse, g):
     dk = jnp.swapaxes(dkT.sum(axis=1), -1, -2).astype(k.dtype)
     dv = jnp.swapaxes(dvT.sum(axis=1), -1, -2).astype(v.dtype)
     return dq, dk, dv
+
+
+_backward = custom_partitioning(_backward_impl)
+
+
+def _bwd_shardings(mesh, q_sharding):
+    b, h = _spec_dim(q_sharding, 0), _spec_dim(q_sharding, 1)
+    like4 = NamedSharding(mesh, P(b, h, None, None))
+    like3 = NamedSharding(mesh, P(b, h, None))
+    return like4, like3
+
+
+def _bwd_partition(mesh, arg_shapes, result_shape):
+    like4, like3 = _bwd_shardings(mesh, arg_shapes[0].sharding)
+    args = (like4, like4, like4, like4, like3, like4)
+    outs = (like4, like4, like4)
+    return mesh, _backward_impl, outs, args
+
+
+def _bwd_infer(mesh, arg_shapes, result_shape):
+    like4, _ = _bwd_shardings(mesh, arg_shapes[0].sharding)
+    return (like4, like4, like4)
+
+
+_backward.def_partition(
+    _bwd_partition,
+    infer_sharding_from_operands=_bwd_infer,
+    sharding_rule=(
+        "b h m d, b h n d, b h n d, b h m d, b h m, b h m d "
+        "-> b h m d, b h n d, b h n d"
+    ),
+    need_replication_factors=("m", "d", "n"),
+)
 
 
 def _bwd(res, g):

@@ -14,6 +14,12 @@ MXU work using the separable one-hot formulation:
 - contract W on the VPU: ``out[n, c] = sum_w ohw[n, w] * tmp[n, w, c]``.
 
 One pallas_call per pyramid level, grid (B, N-tiles).
+
+SPMD: the forward kernel is wrapped in ``custom_partitioning`` — batch and
+point axes partition freely (each shard looks up its own points; the feature
+map is replicated along the point axis), so the conditional configs run under
+jit over a (data, seq) mesh. The backward is plain XLA and partitions
+automatically.
 """
 
 from __future__ import annotations
@@ -25,6 +31,8 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+from jax.experimental.custom_partitioning import custom_partitioning
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 __all__ = ["bilinear_lookup_pallas", "lookup_pyramid_pallas"]
 
@@ -81,7 +89,7 @@ def _lookup_bwd(res, g):
     return vjp(g)
 
 
-def _lookup_forward(level: jnp.ndarray, coords_hw: jnp.ndarray) -> jnp.ndarray:
+def _lookup_forward_impl(level: jnp.ndarray, coords_hw: jnp.ndarray) -> jnp.ndarray:
     b, h, w, c = level.shape
     n = coords_hw.shape[1]
 
@@ -117,6 +125,39 @@ def _lookup_forward(level: jnp.ndarray, coords_hw: jnp.ndarray) -> jnp.ndarray:
         interpret=jax.default_backend() != "tpu",
     )(ch, cw, hidx, widx, f)
     return out
+
+
+_lookup_forward = custom_partitioning(_lookup_forward_impl)
+
+
+def _spec_dim(sharding, i):
+    spec = getattr(sharding, "spec", None)
+    return spec[i] if spec is not None and i < len(spec) else None
+
+
+def _lookup_shardings(mesh, coords_sharding):
+    b, n = _spec_dim(coords_sharding, 0), _spec_dim(coords_sharding, 1)
+    level_sh = NamedSharding(mesh, P(b, None, None, None))
+    coords_sh = NamedSharding(mesh, P(b, n, None))
+    out_sh = NamedSharding(mesh, P(b, n, None))
+    return level_sh, coords_sh, out_sh
+
+
+def _lookup_partition(mesh, arg_shapes, result_shape):
+    level_sh, coords_sh, out_sh = _lookup_shardings(mesh, arg_shapes[1].sharding)
+    return mesh, _lookup_forward_impl, out_sh, (level_sh, coords_sh)
+
+
+def _lookup_infer(mesh, arg_shapes, result_shape):
+    return _lookup_shardings(mesh, arg_shapes[1].sharding)[2]
+
+
+_lookup_forward.def_partition(
+    _lookup_partition,
+    infer_sharding_from_operands=_lookup_infer,
+    sharding_rule="b h w c, b n t -> b n c",
+    need_replication_factors=("h", "w", "c", "t"),
+)
 
 
 bilinear_lookup_pallas.defvjp(_lookup_fwd, _lookup_bwd)

@@ -72,3 +72,81 @@ def test_pallas_projective_gather_grads():
     gb = jax.grad(loss(bilinear_lookup_pallas), argnums=(0, 1))(level, coords)
     for a, b in zip(ga, gb):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_attention_spmd_data_and_seq():
+    """The custom_partitioning wrapping: pallas attention must produce
+    identical results (and shardings that keep the query axis distributed)
+    when batch is sharded over 'data' and points over 'seq'."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from gecco_tpu.parallel import make_mesh
+
+    mesh = make_mesh(data=4, seq=2)
+    q = jax.random.normal(jax.random.PRNGKey(0), (4, 4, 64, 48))
+    k = jax.random.normal(jax.random.PRNGKey(1), (4, 4, 16, 48))
+    v = jax.random.normal(jax.random.PRNGKey(2), (4, 4, 16, 48))
+
+    f = jax.jit(lambda a, b, c: rect_attention(a, b, c, impl="pallas"))
+    ref = np.asarray(f(q, k, v))
+
+    # unpool-style: queries (points) sharded over seq, kv replicated
+    qs = jax.device_put(q, NamedSharding(mesh, P("data", None, "seq", None)))
+    ks = jax.device_put(k, NamedSharding(mesh, P("data", None, None, None)))
+    vs = jax.device_put(v, NamedSharding(mesh, P("data", None, None, None)))
+    np.testing.assert_allclose(np.asarray(f(qs, ks, vs)), ref, rtol=1e-4, atol=1e-6)
+
+    # pool-style: keys/values (points) sharded over seq -> forced gather
+    q2 = jax.device_put(k, NamedSharding(mesh, P("data", None, None, None)))
+    k2 = jax.device_put(q, NamedSharding(mesh, P("data", None, "seq", None)))
+    v2 = jax.device_put(v[:, :, :16].repeat(4, axis=2), NamedSharding(mesh, P("data", None, "seq", None)))
+    out2 = np.asarray(f(q2, k2, v2))
+    ref2 = np.asarray(f(k, q, v[:, :, :16].repeat(4, axis=2)))
+    np.testing.assert_allclose(out2, ref2, rtol=1e-4, atol=1e-6)
+
+
+def test_pallas_attention_spmd_grads():
+    """Gradients through the SPMD-wrapped custom_vjp under a sharded mesh
+    must match the unsharded result."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from gecco_tpu.parallel import make_mesh
+
+    mesh = make_mesh(data=4, seq=2)
+    q = jax.random.normal(jax.random.PRNGKey(3), (4, 2, 32, 48))
+    k = jax.random.normal(jax.random.PRNGKey(4), (4, 2, 16, 48))
+    v = jax.random.normal(jax.random.PRNGKey(5), (4, 2, 16, 48))
+
+    grad_fn = jax.jit(
+        jax.grad(
+            lambda a, b, c: (rect_attention(a, b, c, impl="pallas") ** 2).sum(),
+            argnums=(0, 1, 2),
+        )
+    )
+    ref = grad_fn(q, k, v)
+    qs = jax.device_put(q, NamedSharding(mesh, P("data", None, "seq", None)))
+    ks = jax.device_put(k, NamedSharding(mesh, P("data", None, None, None)))
+    vs = jax.device_put(v, NamedSharding(mesh, P("data", None, None, None)))
+    out = grad_fn(qs, ks, vs)
+    for a, b in zip(ref, out):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
+def test_pallas_gather_spmd():
+    """The fused projective gather under data x seq sharding (points sharded)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from gecco_tpu.ops.pallas.projective_gather import bilinear_lookup_pallas
+    from gecco_tpu.parallel import make_mesh
+
+    mesh = make_mesh(data=4, seq=2)
+    level = jax.random.normal(jax.random.PRNGKey(0), (4, 8, 8, 16))
+    coords = jax.random.uniform(
+        jax.random.PRNGKey(1), (4, 32, 2), minval=-1.0, maxval=9.0
+    )
+    f = jax.jit(bilinear_lookup_pallas)
+    ref = np.asarray(f(level, coords))
+
+    ls = jax.device_put(level, NamedSharding(mesh, P("data", None, None, None)))
+    cs = jax.device_put(coords, NamedSharding(mesh, P("data", "seq", None)))
+    np.testing.assert_allclose(np.asarray(f(ls, cs)), ref, rtol=1e-5)
