@@ -114,6 +114,7 @@ class DataLoader:
         prefetch: int = 2,
         drop_last: bool = True,
         name: Optional[str] = None,
+        shard_by_process: bool = False,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -122,6 +123,16 @@ class DataLoader:
         self.prefetch = prefetch
         self.drop_last = drop_last
         self.name = name
+        # multi-host: ``batch_size`` is the GLOBAL batch; every process runs
+        # the same (identically-seeded) sampler and loads only its slice of
+        # each batch — ``parallel.shard_batch`` reassembles the global array
+        self.process_index = jax.process_index() if shard_by_process else 0
+        self.process_count = jax.process_count() if shard_by_process else 1
+        if batch_size % self.process_count != 0:
+            raise ValueError(
+                f"global batch {batch_size} not divisible by "
+                f"{self.process_count} processes"
+            )
 
     def __len__(self):
         n = len(self.sampler)
@@ -130,14 +141,16 @@ class DataLoader:
         return (n + self.batch_size - 1) // self.batch_size
 
     def _batch_indices(self) -> Iterator[list]:
+        local = self.batch_size // self.process_count
+        lo, hi = self.process_index * local, (self.process_index + 1) * local
         batch = []
         for idx in self.sampler:
             batch.append(idx)
             if len(batch) == self.batch_size:
-                yield batch
+                yield batch[lo:hi]
                 batch = []
         if batch and not self.drop_last:
-            yield batch
+            yield batch[lo:hi] if self.process_count > 1 else batch
 
     def __iter__(self):
         out_q: queue.Queue = queue.Queue(maxsize=self.prefetch)
@@ -185,6 +198,7 @@ def dataloader(
     sequential_sampler: bool = False,
     drop_last: Optional[bool] = None,
     name: Optional[str] = None,
+    shard_by_process: bool = False,
 ) -> DataLoader:
     """Factory with the reference's sampler selection logic (util.py:65-107)."""
     if sequential_sampler and not fixed_sampler:
@@ -209,4 +223,5 @@ def dataloader(
         num_workers=num_workers,
         drop_last=drop,
         name=name,
+        shard_by_process=shard_by_process,
     )

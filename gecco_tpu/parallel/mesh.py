@@ -40,14 +40,25 @@ def init_distributed(**kwargs) -> int:
     ``jax.distributed.initialize`` anywhere); this is the multi-slice entry
     point — after it, the same ``make_mesh``/``shard_batch`` code scales
     across hosts, with XLA routing collectives over ICI within a slice and
-    DCN across slices. No-ops when not in a distributed environment.
+    DCN across slices. Mesh layout rule of thumb: put the cross-host axis
+    OUTERMOST (the 'data' axis — gradient all-reduces tolerate DCN latency)
+    and keep the 'seq' axis within a host/slice so point-sharded batches
+    stay host-local.
+
+    Explicitly-misconfigured calls raise; calling again after a successful
+    initialisation is a no-op; a no-argument call outside any recognisable
+    cluster environment stays single-process (returns 0).
     """
     try:
         jax.distributed.initialize(**kwargs)
-    except (ValueError, RuntimeError) as e:
-        # already initialised, or single-process environment
-        if "already" not in str(e) and jax.process_count() == 1:
-            pass
+    except RuntimeError as e:
+        if "already initialized" not in str(e).lower():
+            raise
+    except ValueError:
+        if kwargs:
+            # explicit arguments that fail to parse are a real error
+            raise
+        # no args + no cluster auto-detection: single-process environment
     return jax.process_index()
 
 
@@ -87,6 +98,13 @@ def shard_batch(batch, mesh: Mesh, shard_points: bool = False):
     On a degenerate single-device mesh this is a plain ``device_put``:
     NamedSharding adds nothing there, and the axon single-chip TPU runtime
     hangs on host fetches of NamedSharding-derived arrays.
+
+    Multi-host (``jax.process_count() > 1``): each process passes its LOCAL
+    slice of the global batch (see ``DataLoader(shard_by_process=True)``) and
+    the global array is assembled with
+    ``jax.make_array_from_process_local_data`` — the 'data' axis must span
+    processes, and with ``shard_points`` the 'seq' axis must stay
+    process-local (see ``init_distributed``).
     """
     if mesh.size == 1:
         return jax.tree.map(
@@ -98,24 +116,35 @@ def shard_batch(batch, mesh: Mesh, shard_points: bool = False):
 
     sharding = batch_sharding(mesh, shard_points=shard_points)
     rep = replicated_sharding(mesh)
+    multiprocess = jax.process_count() > 1
 
     def _put(x):
         if x is None or (isinstance(x, tuple) and len(x) == 0):
             return x
         arr = np.asarray(x)
-        if arr.ndim == 0:
-            return jax.device_put(arr, rep)
-        return jax.device_put(arr, sharding)
+        sh = rep if arr.ndim == 0 else sharding
+        if multiprocess:
+            return jax.make_array_from_process_local_data(sh, arr)
+        return jax.device_put(arr, sh)
 
     return jax.tree.map(_put, batch)
 
 
 def replicate(tree, mesh: Mesh):
     """Replicate a pytree (model/opt state) across the mesh. No-op on a
-    single-device mesh (see shard_batch)."""
+    single-device mesh (see shard_batch). Multi-host: every process holds the
+    same values (same PRNG seed / restored checkpoint) and the global
+    replicated array is assembled from the per-process copies."""
     if mesh.size == 1:
         return tree
     rep = replicated_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(rep, np.asarray(x))
+            if hasattr(x, "shape")
+            else x,
+            tree,
+        )
     return jax.tree.map(
         lambda x: jax.device_put(x, rep) if hasattr(x, "shape") else x, tree
     )

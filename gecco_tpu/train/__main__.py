@@ -16,7 +16,17 @@ import subprocess
 from gecco_tpu.config import load_config
 
 
-def execute(config_path: str):
+def execute(config_path: str, distributed: bool = False):
+    process_index = 0
+    if distributed:
+        # must run before any device use; after it the standard
+        # make_mesh/shard_batch path scales across hosts (ICI within a
+        # slice, DCN across) — see gecco_tpu.parallel.init_distributed
+        from gecco_tpu.parallel import init_distributed
+
+        process_index = init_distributed()
+        print(f"Distributed: process {process_index}", flush=True)
+
     config_path = os.path.abspath(config_path)
     save_path = os.path.dirname(config_path)
     config = load_config(config_path)
@@ -43,8 +53,9 @@ def execute(config_path: str):
         )
     except Exception:
         pass
-    with open(os.path.join(save_path, "metadata.json"), "w") as f:
-        json.dump(metadata, f)
+    if process_index == 0:
+        with open(os.path.join(save_path, "metadata.json"), "w") as f:
+            json.dump(metadata, f)
 
     config.train(
         config.make_model,
@@ -57,8 +68,14 @@ def execute(config_path: str):
 def main():
     parser = argparse.ArgumentParser(description="Train a gecco_tpu model")
     parser.add_argument("config", help="path to a .py config file")
+    parser.add_argument(
+        "--distributed",
+        action="store_true",
+        help="call jax.distributed.initialize before training (multi-host); "
+        "cluster parameters come from the environment (TPU pods auto-detect)",
+    )
     args = parser.parse_args()
-    execute(args.config)
+    execute(args.config, distributed=args.distributed)
 
 
 if __name__ == "__main__":
