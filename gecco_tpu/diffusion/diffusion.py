@@ -441,7 +441,10 @@ class Diffusion:
                 (jte,) = vjp_fn(e)
                 return jnp.sum(jte * e, axis=(-2, -1))  # [B]
 
-            divs = jax.vmap(single)(eps)
+            # python loop, not vmap: the SPMD-wrapped (custom_partitioning)
+            # attention backward has no batching rule, and
+            # n_log_det_jac_samples is 1 in practice (reference default)
+            divs = jnp.stack([single(eps[i]) for i in range(eps.shape[0])])
             return f, divs.mean(axis=0)
 
         def body(carry, inp):
