@@ -43,6 +43,15 @@ def make_model(key):
         keys[1], backbone, reparam, feature_dim=384, input_ctx_dim=sum(CTX_DIMS), lookup_impl="pallas"
     )
     cond = ConvNeXtExtractor.init(keys[2], size="tiny", mode="local")
+    # pretrained/frozen extractor: see taskonomy_conditional.py
+    if os.environ.get("GECCO_CONVNEXT_WEIGHTS"):
+        from gecco_tpu.models.convnext import load_pretrained_npz
+
+        cond = load_pretrained_npz(cond, os.environ["GECCO_CONVNEXT_WEIGHTS"])
+    if os.environ.get("GECCO_FREEZE_CONDITIONER", "0") == "1":
+        from gecco_tpu.utils import Frozen
+
+        cond = Frozen(inner=cond)
     schedule = LogUniformSchedule(sigma_max=165.0, sigma_min=0.002, n_solver_steps=128)
     return Diffusion.init(network, schedule, reparam=reparam, cond=cond)
 

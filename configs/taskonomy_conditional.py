@@ -24,6 +24,13 @@ BATCH = 48
 NUM_STEPS = 1_000_000
 CTX_DIMS = (96, 192, 384)  # ConvNeXt-tiny pyramid channels
 
+# ImageNet-pretrained extractor weights (the reference consumes pretrained
+# ConvNeXt, torch feature_pyramid.py:17-73): fetch with
+# scripts/fetch_convnext_weights.py and point this env var at the npz.
+# GECCO_FREEZE_CONDITIONER=1 additionally stops gradients into the extractor.
+CONVNEXT_WEIGHTS = os.environ.get("GECCO_CONVNEXT_WEIGHTS")
+FREEZE_CONDITIONER = os.environ.get("GECCO_FREEZE_CONDITIONER", "0") == "1"
+
 
 def make_model(key):
     keys = jax.random.split(key, 3)
@@ -49,6 +56,14 @@ def make_model(key):
         lookup_impl="pallas",
     )
     cond = ConvNeXtExtractor.init(keys[2], size="tiny", mode="local")
+    if CONVNEXT_WEIGHTS:
+        from gecco_tpu.models.convnext import load_pretrained_npz
+
+        cond = load_pretrained_npz(cond, CONVNEXT_WEIGHTS)
+    if FREEZE_CONDITIONER:
+        from gecco_tpu.utils import Frozen
+
+        cond = Frozen(inner=cond)
     schedule = LogUniformSchedule(
         sigma_max=180.0, sigma_min=0.002, n_solver_steps=128
     )

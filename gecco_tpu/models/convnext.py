@@ -235,6 +235,16 @@ class ConvNeXtExtractor:
         )
 
 
+def load_pretrained_npz(extractor: "ConvNeXtExtractor", npz_path: str) -> "ConvNeXtExtractor":
+    """Load ImageNet-pretrained weights saved by
+    ``scripts/fetch_convnext_weights.py`` into a ConvNeXtExtractor."""
+    data = np.load(npz_path)
+    state_dict = {k: data[k] for k in data.files}
+    return extractor.replace(
+        backbone=load_torchvision_state_dict(extractor.backbone, state_dict)
+    )
+
+
 def load_torchvision_state_dict(model: ConvNeXt, state_dict) -> ConvNeXt:
     """Populate a ConvNeXt from a torchvision ``convnext_*`` state_dict
     (tensor values or numpy arrays keyed ``features.{i}...``).

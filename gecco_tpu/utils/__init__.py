@@ -6,6 +6,7 @@ from gecco_tpu.utils.modules import (
     stack_modules,
     static,
     unstack_module,
+    unstack_modules,
 )
 from gecco_tpu.utils.prng import splitter
 
@@ -17,5 +18,6 @@ __all__ = [
     "stack_modules",
     "static",
     "unstack_module",
+    "unstack_modules",
     "splitter",
 ]

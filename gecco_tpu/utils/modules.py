@@ -124,6 +124,12 @@ def unstack_module(mod: Any, index: int) -> Any:
     return jax.tree.map(lambda x: x[index], mod)
 
 
+def unstack_modules(mod: Any, n: int) -> list:
+    """Inverse of ``stack_modules``: split a stacked module back into a list
+    of ``n`` per-layer modules."""
+    return [unstack_module(mod, i) for i in range(n)]
+
+
 def count_parameters(mod: Any) -> int:
     """Total number of array elements in a module pytree.
 

@@ -248,3 +248,70 @@ def test_n_samples_per_context():
     )(model, jax.random.PRNGKey(4), ctx)
     assert samples.shape == (6, 16, 3)
     assert np.isfinite(np.asarray(samples)).all()
+
+
+def test_frozen_conditioner_blocks_gradients_through_convnext():
+    """GECCO_FREEZE_CONDITIONER semantics: a Frozen-wrapped extractor stays
+    constant under the training loss."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gecco_tpu import Diffusion, LogUniformSchedule, UVLReparam
+    from gecco_tpu.models import ConvNeXtExtractor, RayNetwork, SetTransformer
+    from gecco_tpu.types import Context3d
+    from gecco_tpu.utils import Frozen
+
+    keys = jax.random.split(jax.random.PRNGKey(0), 3)
+    reparam = UVLReparam.init()
+    backbone = SetTransformer.init(
+        keys[0], n_layers=1, feature_dim=64, num_inducers=4, embed_dim=1,
+        num_heads=4, compute_dtype=jnp.float32,
+    )
+    net = RayNetwork.init(
+        keys[1], backbone, reparam, feature_dim=64, input_ctx_dim=96 + 192 + 384
+    )
+    cond = Frozen(inner=ConvNeXtExtractor.init(keys[2], compute_dtype=jnp.float32))
+    model = Diffusion.init(
+        net, LogUniformSchedule(sigma_max=10.0, n_solver_steps=4),
+        reparam=reparam, cond=cond,
+    )
+
+    pts, ctx = _frustum_batch(jax.random.PRNGKey(9), b=2, n=16)
+
+    grads = jax.grad(
+        lambda m: m.loss(pts, ctx, jax.random.PRNGKey(1))
+    )(model)
+    cond_grads = jax.tree.leaves(grads.cond)
+    assert all(float(jnp.abs(g).max()) == 0.0 for g in cond_grads)
+    net_grads = jax.tree.leaves(grads.network)
+    assert any(float(jnp.abs(g).max()) > 0.0 for g in net_grads)
+
+
+def test_pretrained_convnext_weights_gated():
+    """Weights-gated: with GECCO_CONVNEXT_WEIGHTS pointing at the npz from
+    scripts/fetch_convnext_weights.py, the pretrained pyramid loads and
+    produces sane features."""
+    import os
+
+    import pytest
+
+    if "GECCO_CONVNEXT_WEIGHTS" not in os.environ:
+        pytest.skip("set GECCO_CONVNEXT_WEIGHTS to run")
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gecco_tpu.models import ConvNeXtExtractor
+    from gecco_tpu.models.convnext import load_pretrained_npz
+    from gecco_tpu.types import Context3d
+
+    ext = ConvNeXtExtractor.init(jax.random.PRNGKey(0), size="tiny", mode="local")
+    ext = load_pretrained_npz(ext, os.environ["GECCO_CONVNEXT_WEIGHTS"])
+    img = np.random.default_rng(0).uniform(size=(1, 224, 224, 3)).astype(np.float32)
+    out = ext(Context3d(image=jnp.asarray(img), K=jnp.eye(3)[None]))
+    assert len(out.features) == 3
+    for f, c in zip(out.features, (96, 192, 384)):
+        assert f.shape[-1] == c
+        assert np.isfinite(np.asarray(f, np.float32)).all()
