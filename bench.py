@@ -123,7 +123,7 @@ def time_train_step(reps=5):
     bk, nk = jax.random.split(key)
     backbone = SetTransformer.init(
         bk, n_layers=6, feature_dim=384, num_inducers=64, embed_dim=1,
-        num_heads=8, compute_dtype=jnp.bfloat16, attn_impl="pallas", remat=True,
+        num_heads=8, compute_dtype=jnp.bfloat16, attn_impl="folded_pallas", remat=True,
     )
     net = UnconditionalPointNetwork.init(nk, backbone, feature_dim=384)
     sched = LogUniformSchedule(sigma_max=165.0, sigma_min=0.002, n_solver_steps=N_STEPS)
@@ -148,7 +148,7 @@ def time_train_step(reps=5):
 
 
 def main():
-    optimized = build_model(jnp.bfloat16, attn_impl="pallas")
+    optimized = build_model(jnp.bfloat16, attn_impl="folded_pallas")
     clouds_per_sec = time_sampler(optimized, reps=3)
     p50_step = time_denoise_step(optimized)
 

@@ -42,7 +42,7 @@ def make_model(key):
         num_heads=8,  # reference parity; num_heads=3 (head_dim=128) is ~16% faster on TPU
         mlp_blowup=2,
         compute_dtype=jnp.bfloat16,
-        attn_impl="pallas",
+        attn_impl="folded_pallas",
         remat=True,
     )
     network = UnconditionalPointNetwork.init(nk, backbone, feature_dim=384)

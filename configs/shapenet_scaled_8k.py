@@ -35,7 +35,7 @@ def make_model(key):
         embed_dim=1,
         num_heads=16,
         compute_dtype=jnp.bfloat16,
-        attn_impl="pallas",
+        attn_impl="folded_pallas",
         remat=True,
     )
     network = UnconditionalPointNetwork.init(nk, backbone, feature_dim=768)

@@ -44,7 +44,7 @@ def make_model(key):
         num_heads=8,
         mlp_blowup=2,
         compute_dtype=jnp.bfloat16,
-        attn_impl="pallas",
+        attn_impl="folded_pallas",
         remat=True,
     )
     network = RayNetwork.init(

@@ -14,7 +14,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from gecco_tpu.ops.norms import group_norm, layer_norm
+from gecco_tpu.ops.norms import group_norm, group_norm_stats, layer_norm
 from gecco_tpu.utils import Linear, module, static
 
 __all__ = ["AdaGN", "AdaLN"]
@@ -56,6 +56,46 @@ class AdaGN:
         bias = self.bias_linear(embed)[..., None, :]
         normed = group_norm(x, num_groups=self.num_groups)
         return scale.astype(x.dtype) * normed + bias.astype(x.dtype)
+
+    def effective_scale_bias(
+        self, x: jnp.ndarray, embed: jnp.ndarray
+    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """Collapse norm + affine into per-channel ``x * se + be`` form.
+
+        ``AdaGN(x) = scale * (x - mean) * inv + bias = x * se + be`` with
+        ``se = scale * inv_c`` and ``be = bias - mean_c * se`` — the inputs of
+        the fused Pallas kernels, which apply the pre-norm while streaming x
+        tiles (no normed [B, N, C] copy in HBM). Both fp32 ``[B, C]``; the
+        statistics path stays differentiable through plain XLA.
+        """
+        scale = self.scale_linear(embed.astype(jnp.float32))  # [B, C]
+        bias = self.bias_linear(embed.astype(jnp.float32))
+        mean_c, inv_c = group_norm_stats(x, num_groups=self.num_groups)
+        se = scale * inv_c
+        return se, bias - mean_c * se
+
+    def scale_bias_from_sums(
+        self, sums: jnp.ndarray, n_tokens: int, embed: jnp.ndarray
+    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """Like ``effective_scale_bias`` but from precomputed channel sums
+        ``[B, 2, C]`` (s1, s2 over the token axis) — the fused unpool kernel
+        emits these for its own output, so the following norm's statistics
+        cost no extra pass over the [B, N, C] stream."""
+        b, _, c = sums.shape
+        g = self.num_groups
+        pg = c // g
+        g1 = sums[:, 0].reshape(b, g, pg).sum(-1)
+        g2 = sums[:, 1].reshape(b, g, pg).sum(-1)
+        count = n_tokens * pg
+        mean = g1 / count
+        var = g2 / count - mean**2
+        inv = jax.lax.rsqrt(jnp.maximum(var, 0.0) + 1e-5)
+        mean_c = jnp.repeat(mean, pg, axis=-1)
+        inv_c = jnp.repeat(inv, pg, axis=-1)
+        scale = self.scale_linear(embed.astype(jnp.float32))
+        bias = self.bias_linear(embed.astype(jnp.float32))
+        se = scale * inv_c
+        return se, bias - mean_c * se
 
 
 @module

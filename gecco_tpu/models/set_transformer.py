@@ -31,7 +31,11 @@ import jax.numpy as jnp
 from gecco_tpu.models.activation import GaussianActivation
 from gecco_tpu.models.mlp import MLP
 from gecco_tpu.models.normalization import AdaGN
-from gecco_tpu.ops.attention import rect_attention
+from gecco_tpu.ops.attention import (
+    pool_attention_folded,
+    rect_attention,
+    unpool_attention_folded,
+)
 from gecco_tpu.utils import Linear, module, static, splitter, stack_modules
 
 __all__ = ["AttentionPool", "Unpool", "Broadcast", "BroadcastingLayer", "SetTransformer"]
@@ -79,6 +83,16 @@ class AttentionPool:
 
     def __call__(self, kv: jnp.ndarray, attn_impl: str = "xla") -> jnp.ndarray:
         # kv: [B, N, C] -> [B, I, C]
+        if attn_impl in ("folded", "folded_pallas"):
+            # head projections folded into MXU-wide matmuls (ops/attention.py)
+            return pool_attention_folded(
+                kv,
+                self.inducers,
+                self.kv_proj.weight,
+                self.out_proj.weight,
+                self.num_heads,
+                impl="pallas" if attn_impl == "folded_pallas" else "xla",
+            )
         k, v = jnp.split(self.kv_proj(kv), 2, axis=-1)
         k = _split_heads(k, self.num_heads)
         v = _split_heads(v, self.num_heads)
@@ -115,6 +129,17 @@ class Unpool:
         self, x: jnp.ndarray, h: jnp.ndarray, attn_impl: str = "xla"
     ) -> jnp.ndarray:
         # x: [B, N, C] queries, h: [B, I, C] keys/values -> [B, N, C]
+        if attn_impl in ("folded", "folded_pallas"):
+            return unpool_attention_folded(
+                x,
+                h,
+                self.q_proj.weight,
+                self.k_proj.weight,
+                self.v_proj.weight,
+                self.out_proj.weight,
+                self.num_heads,
+                impl="pallas" if attn_impl == "folded_pallas" else "xla",
+            )
         q = _split_heads(self.q_proj(x), self.num_heads)
         k = _split_heads(self.k_proj(h), self.num_heads)
         v = _split_heads(self.v_proj(h), self.num_heads)
@@ -244,6 +269,8 @@ class BroadcastingLayer:
         mlp_on_unnormed: bool = False,
     ) -> tuple[jnp.ndarray, jnp.ndarray]:
         bkey, mkey = (None, None) if key is None else jax.random.split(key)
+        if attn_impl == "folded_pallas":
+            return self._fused_call(x, embed, h, bkey, mkey, mlp_on_unnormed)
         y = self.broadcast_norm(x, embed)
         x_b, h = self.broadcast(y, embed, h=h, attn_impl=attn_impl, key=bkey)
         x = x + x_b
@@ -254,6 +281,107 @@ class BroadcastingLayer:
         # default — use the normed stream. ``mlp_on_unnormed=True``
         # reproduces the jax behavior bit-for-bit for checkpoint parity.
         x = x + self.mlp(x if mlp_on_unnormed else y, key=mkey)
+        return x, h
+
+    def _fused_call(
+        self,
+        x: jnp.ndarray,
+        embed: jnp.ndarray,
+        h: Optional[jnp.ndarray],
+        bkey: Optional[jax.Array],
+        mkey: Optional[jax.Array],
+        mlp_on_unnormed: bool,
+    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """The whole layer through the three fused Pallas megakernels
+        (ops/pallas/folded_attention.py): pool+pre-norm, unpool+pre-norm+
+        residual+output-stats, pre-norm+MLP+residual. Same function as the
+        plain path — an execution strategy, not an architecture change."""
+        from gecco_tpu.ops.pallas.folded_attention import (
+            folded_pool_layer,
+            folded_unpool,
+            fused_mlp_residual,
+            group_indicator,
+            pool_vmem_ok,
+        )
+
+        b, n, c = x.shape
+        dt = x.dtype
+        bc = self.broadcast
+        num_heads = bc.unpool.num_heads
+        inducers = bc.pool.inducers  # [H, I, D]
+        n_ind = inducers.shape[1]
+        embed_f = embed.astype(jnp.float32)
+
+        if h is None:
+            scale1 = self.broadcast_norm.scale_linear(embed_f)  # [B, C] fp32
+            bias1 = self.broadcast_norm.bias_linear(embed_f)
+            if pool_vmem_ok(n, c, num_heads * n_ind, jnp.dtype(dt).itemsize):
+                h0, mean_c, inv_c = folded_pool_layer(
+                    x, scale1, bias1,
+                    inducers.reshape(num_heads * n_ind, c // num_heads).astype(dt),
+                    bc.pool.kv_proj.weight.astype(dt),
+                    bc.pool.out_proj.weight.astype(dt),
+                    group_indicator(c, self.broadcast_norm.num_groups),
+                    num_heads, True,
+                )
+            else:
+                # VMEM-exceeding point counts: XLA stats + folded-XLA pool
+                from gecco_tpu.ops.norms import group_norm_stats
+
+                mean_c, inv_c = group_norm_stats(
+                    x, num_groups=self.broadcast_norm.num_groups
+                )
+                se = scale1 * inv_c
+                y = (
+                    x.astype(jnp.float32) * se[:, None, :]
+                    + (bias1 - mean_c * se)[:, None, :]
+                ).astype(dt)
+                h0 = bc.pool(y, attn_impl="folded")
+            se1 = scale1 * inv_c
+            be1 = bias1 - mean_c * se1
+            hh = bc.norm_1(h0, embed)
+            hh = bc.mlp(hh, key=bkey)
+            h = bc.norm_2(hh, embed)
+        else:
+            se1, be1 = self.broadcast_norm.effective_scale_bias(x, embed)
+
+        hd = h.astype(dt)
+        k = hd @ bc.unpool.k_proj.weight.astype(dt).T
+        v = hd @ bc.unpool.v_proj.weight.astype(dt).T
+        x, sums = folded_unpool(
+            x, se1, be1, k, v,
+            bc.unpool.q_proj.weight.astype(dt),
+            bc.unpool.out_proj.weight.astype(dt),
+            num_heads, True, True,
+        )
+
+        mlp_fusable = (
+            len(self.mlp.layers) == 2
+            and isinstance(self.mlp.activation, GaussianActivation)
+            and (mkey is None or self.mlp.dropout_p == 0.0)
+        )
+        if not mlp_fusable:
+            y2 = x if mlp_on_unnormed else self.mlp_norm(x, embed)
+            return x + self.mlp(y2, key=mkey), h
+
+        if mlp_on_unnormed:
+            se2 = jnp.ones((b, c), jnp.float32)
+            be2 = jnp.zeros((b, c), jnp.float32)
+        else:
+            se2, be2 = self.mlp_norm.scale_bias_from_sums(sums, n, embed)
+
+        w1, w2 = self.mlp.layers
+        act = self.mlp.activation
+        alpha = act.alpha.astype(jnp.float32)
+        w1t = (w1.weight.astype(jnp.float32) / alpha).T.astype(dt)
+        b1 = (w1.bias.astype(jnp.float32) / alpha)[None]  # [1, W]
+        w2t = w2.weight.astype(jnp.float32).T  # [W, C]
+        b2 = w2.bias.astype(jnp.float32)[None]  # [1, C]
+        if act.normalized:
+            # fold (g - 0.7) / 0.28 into the second projection
+            b2 = b2 - (0.7 / 0.28) * w2t.sum(axis=0, keepdims=True)
+            w2t = w2t / 0.28
+        x = fused_mlp_residual(x, se2, be2, w1t, b1, w2t.astype(dt), b2)
         return x, h
 
 

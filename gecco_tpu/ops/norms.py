@@ -14,22 +14,23 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["group_norm", "layer_norm"]
+__all__ = ["group_norm", "group_norm_stats", "layer_norm"]
 
 
-def group_norm(
+def group_norm_stats(
     x: jnp.ndarray, num_groups: int = 32, eps: float = 1e-5
-) -> jnp.ndarray:
-    """Set-level group normalisation.
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-channel mean/inv-std of the set-level group norm.
 
-    ``x: [..., N, C]``; statistics per (batch, group) over all N tokens and
-    the C/num_groups channels in the group. No affine parameters (the
-    reference composes affine via AdaGN scale/bias instead).
+    Returns ``(mean_c, inv_c)``, each ``[..., C]`` fp32 (group statistics
+    broadcast per channel), so the normalisation is the elementwise
+    ``(x - mean_c) * inv_c`` — the form consumed by the fused Pallas kernels
+    (ops/pallas/folded_attention.py), which apply the pre-norm inline while
+    streaming tiles instead of round-tripping a normed copy through HBM.
     """
     *lead, n, c = x.shape
     if c % num_groups != 0:
         raise ValueError(f"channels {c} not divisible by groups {num_groups}")
-    orig_dtype = x.dtype
     per_group = c // num_groups
     xf = x.astype(jnp.float32)
     # lane-aligned formulation: reduce over tokens first (contiguous C lanes),
@@ -43,9 +44,25 @@ def group_norm(
     mean = g1 / count
     var = g2 / count - mean**2
     inv = jax.lax.rsqrt(jnp.maximum(var, 0.0) + eps)
-    mean_c = jnp.repeat(mean, per_group, axis=-1)[..., None, :]  # [..., 1, C]
-    inv_c = jnp.repeat(inv, per_group, axis=-1)[..., None, :]
-    return ((xf - mean_c) * inv_c).astype(orig_dtype)
+    mean_c = jnp.repeat(mean, per_group, axis=-1)  # [..., C]
+    inv_c = jnp.repeat(inv, per_group, axis=-1)
+    return mean_c, inv_c
+
+
+def group_norm(
+    x: jnp.ndarray, num_groups: int = 32, eps: float = 1e-5
+) -> jnp.ndarray:
+    """Set-level group normalisation.
+
+    ``x: [..., N, C]``; statistics per (batch, group) over all N tokens and
+    the C/num_groups channels in the group. No affine parameters (the
+    reference composes affine via AdaGN scale/bias instead).
+    """
+    orig_dtype = x.dtype
+    mean_c, inv_c = group_norm_stats(x, num_groups=num_groups, eps=eps)
+    return (
+        (x.astype(jnp.float32) - mean_c[..., None, :]) * inv_c[..., None, :]
+    ).astype(orig_dtype)
 
 
 def layer_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:

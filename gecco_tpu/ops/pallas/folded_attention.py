@@ -1,0 +1,705 @@
+"""Pallas megakernels for folded-projection induced set attention.
+
+The folded formulation (gecco_tpu/ops/attention.py) turns per-head
+[64 x 48 x 2048] matmuls into MXU-wide [N, C] x [C, H*I] shapes; measured
+rooflines on the axon v5e relay (~120 TFLOP/s bf16, ~206 GB/s HBM — about a
+quarter of nominal chip specs) make BOTH matmul shape and HBM traffic
+first-order, so these kernels fuse the entire per-point compute of a
+BroadcastingLayer into three Pallas programs that read/write the [B, N, C]
+stream the minimum number of times:
+
+- ``folded_pool_layer`` — one grid step per batch element holds the full
+  [N, C] set in VMEM (softmax is over the point axis: untileable), and:
+  computes the set-level GroupNorm statistics in-kernel (group folding via a
+  [C, G] indicator matmul — Mosaic can't reshape to [C/G, G]); applies the
+  AdaGN affine; folds the k-projection against the learnable inducer queries
+  into a [C, H*I] operand in VMEM scratch (8 tiny [D, C] x [I, D] matmuls,
+  one per head); runs logits -> softmax-over-N -> per-head pooling -> output
+  projection; and returns the pooled [B, I, C] inducer tokens PLUS the
+  norm statistics for reuse by the unpool (saves a full XLA stats pass).
+- ``folded_unpool`` — tiles the point axis; applies the collapsed pre-norm
+  ``x * se + be`` inline; folds q/out projections against the (tiny)
+  inducer-state k/v into [C, J]/[J, C] VMEM scratch per batch element; runs
+  logits -> blockwise softmax (static 64-wide column blocks — the only
+  remnant of head structure) -> value matmul; adds the residual stream; and
+  accumulates the s1/s2 channel sums of its OUTPUT across point tiles, so
+  the next norm's statistics cost no extra HBM pass.
+- ``fused_mlp_residual`` — ``x + W2 act(W1 (x * se + be) + b1) + b2`` with
+  the Gaussian activation's alpha pre-folded into W1/b1 by the caller.
+  Without this the [B, N, 2C] hidden round-trips ~400 MB of HBM per layer.
+
+All are forward-only Pallas programs wrapped in ``custom_vjp`` whose
+backward recomputes through an XLA twin (jax.vjp) — the same mathematical
+function, so gradients are exact; the backward matmuls are already
+MXU-shaped at the XLA level. Interpret mode off-TPU.
+
+SPMD: wrapped in ``custom_partitioning`` (batch partitions freely; the point
+axis partitions in the unpool/mlp forwards; the pool gathers points — its
+softmax and statistics reduce over them). Replaces the reference's
+``lax.pmean`` data parallelism (gecco-jax/models/diffusion.py:571-573).
+
+Replaces: pre-norm + per-head vmap attention + MLP of the reference layer
+(gecco-jax/src/gecco_jax/models/set_transformer.py:87-94,160-217).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+from jax.experimental.custom_partitioning import custom_partitioning
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+__all__ = [
+    "folded_pool_layer",
+    "folded_unpool",
+    "fused_mlp_residual",
+    "pool_vmem_ok",
+    "group_indicator",
+]
+
+_EPS = 1e-5
+
+
+def _spec_dim(sharding, i):
+    spec = getattr(sharding, "spec", None)
+    return spec[i] if spec is not None and i < len(spec) else None
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def group_indicator(c: int, num_groups: int) -> jnp.ndarray:
+    """[C, G] 0/1 matrix mapping channels to their group — the in-kernel
+    group-fold is a matmul with this (Mosaic cannot reshape [C] -> [G, C/G])."""
+    ch = jnp.arange(c) // (c // num_groups)
+    return (ch[:, None] == jnp.arange(num_groups)[None, :]).astype(jnp.float32)
+
+
+def block_map(j: int, num_blocks: int) -> jnp.ndarray:
+    """[J, B] 0/1 matrix mapping columns to their ``J // B``-wide block.
+
+    Per-block softmax statistics are computed/expanded with matmuls against
+    this instead of slicing + concatenating 64-wide lane blocks — Mosaic
+    lane relayouts on wide concats measurably starve the MXU.
+    """
+    col = jnp.arange(j) // (j // num_blocks)
+    return (col[:, None] == jnp.arange(num_blocks)[None, :]).astype(jnp.float32)
+
+
+def _blockwise_softmax_lastaxis(s, block, bmap=None):
+    """Softmax over static ``block``-wide column blocks of a 2D fp32 array.
+
+    With ``bmap`` ([J, num_blocks] indicator): per-block maxima come from
+    narrow [TN, 1] column reductions (a num_blocks-lane concat — one vreg),
+    and the expand-to-J / per-block-sum steps are tiny one-hot matmuls on
+    the MXU; no wide lane concats. Without it: the slicing fallback.
+    """
+    nb = s.shape[-1] // block
+    if bmap is not None:
+        ms = [
+            jnp.max(s[:, j * block : (j + 1) * block], axis=-1, keepdims=True)
+            for j in range(nb)
+        ]
+        mcat = jnp.concatenate(ms, axis=-1)  # [TN, nb]
+        mexp = jax.lax.dot_general(
+            mcat, bmap, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [TN, J]
+        e = jnp.exp(s - mexp)
+        sums = jax.lax.dot_general(
+            e, bmap, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [TN, nb]
+        sexp = jax.lax.dot_general(
+            sums, bmap, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return e / sexp
+    outs = []
+    for j in range(nb):
+        blk = s[:, j * block : (j + 1) * block]
+        m = jnp.max(blk, axis=-1, keepdims=True)
+        p = jnp.exp(blk - m)
+        outs.append(p / jnp.sum(p, axis=-1, keepdims=True))
+    return jnp.concatenate(outs, axis=-1)
+
+
+def _pick_tile_n(n: int) -> int:
+    for tn in (1024, 512, 256, 128):
+        if n % tn == 0:
+            return tn
+    return n
+
+
+# ------------------------------------------------------------------ pool --
+
+
+def _pool_kernel(
+    x_ref, scale_ref, bias_ref, ind_ref, kvw_ref, wo_ref, gind_ref,
+    h0_ref, mean_ref, inv_ref,
+    qf_scratch,
+    *, num_heads: int, num_inducers: int, scale_qk: float, prenorm: bool,
+):
+    xf = x_ref[0].astype(jnp.float32)  # [N, C]
+    n, c = xf.shape
+    d = c // num_heads
+    i = num_inducers
+
+    if prenorm:
+        # set-level GroupNorm stats, group-folded via the indicator matmul
+        gind = gind_ref[:]  # [C, G] fp32
+        per_group = c // gind.shape[1]
+        count = n * per_group
+        s1 = jnp.sum(xf, axis=0, keepdims=True)  # [1, C]
+        s2 = jnp.sum(xf * xf, axis=0, keepdims=True)
+        g1 = jax.lax.dot_general(
+            s1, gind, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [1, G]
+        g2 = jax.lax.dot_general(
+            s2, gind, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        mean_g = g1 / count
+        var_g = g2 / count - mean_g * mean_g
+        inv_g = jax.lax.rsqrt(jnp.maximum(var_g, 0.0) + _EPS)
+        # broadcast back per channel: [1, G] @ [G, C]
+        mean_c = jax.lax.dot_general(
+            mean_g, gind, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        inv_c = jax.lax.dot_general(
+            inv_g, gind, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        mean_ref[0] = mean_c
+        inv_ref[0] = inv_c
+        y = (
+            (xf - mean_c) * (inv_c * scale_ref[0]) + bias_ref[0]
+        ).astype(x_ref.dtype)
+    else:
+        mean_ref[0] = jnp.zeros_like(mean_ref[0])
+        inv_ref[0] = jnp.ones_like(inv_ref[0])
+        y = x_ref[0]
+
+    # fold the k-projection against the learnable queries, head by head,
+    # into VMEM scratch: qf[:, hI:(h+1)I] = scale * Wk_h^T @ ind_h^T
+    for h in range(num_heads):
+        wk_h = kvw_ref[h * d : (h + 1) * d, :]  # [D, C] rows of the kv weight
+        ind_h = ind_ref[h * i : (h + 1) * i, :]  # [I, D]
+        qf_scratch[:, h * i : (h + 1) * i] = (
+            scale_qk
+            * jax.lax.dot_general(
+                wk_h, ind_h, (((0,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        ).astype(qf_scratch.dtype)
+
+    s = jax.lax.dot_general(
+        y, qf_scratch[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [N, J]; softmax over the POINT axis per (head, inducer) column
+    m = jnp.max(s, axis=0, keepdims=True)
+    p = jnp.exp(s - m)
+    p = (p / jnp.sum(p, axis=0, keepdims=True)).astype(y.dtype)
+
+    # fused value projection: v = y @ Wv^T (Wv = rows C..2C of the kv weight)
+    v = jax.lax.dot_general(
+        y, kvw_ref[c : 2 * c, :], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(y.dtype)  # [N, C]
+
+    # per-head pooling + merge: merged[:, hD:(h+1)D] = p_h^T @ v_h
+    merged_parts = []
+    for h in range(num_heads):
+        merged_parts.append(
+            jax.lax.dot_general(
+                p[:, h * i : (h + 1) * i], v[:, h * d : (h + 1) * d],
+                (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            )
+        )  # [I, D]
+    merged = jnp.concatenate(merged_parts, axis=-1).astype(y.dtype)  # [I, C]
+
+    # output projection
+    h0_ref[0] = jax.lax.dot_general(
+        merged, wo_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(h0_ref.dtype)
+
+
+def pool_vmem_ok(n: int, c: int, j: int, itemsize: int = 2) -> bool:
+    """The pool kernel holds the full [N, J] fp32 logits (softmax is over N,
+    untileable without two passes) — gate on a conservative VMEM budget."""
+    need = (
+        n * j * (4 + itemsize)  # logits fp32 + probabilities
+        + 2 * n * c * itemsize  # normed stream + fused value projection
+        + (3 * c * c + 2 * j * c) * itemsize  # weights + folded operand
+    )  # (the transient fp32 upcast of x is liveness-reclaimed before logits)
+    return need <= 13 * 1024 * 1024
+
+
+def _pool_impl(x, scale, bias, ind2, kvw, wo, gind, num_heads, prenorm=True):
+    """x [B, N, C]; scale/bias [B, C] fp32 (AdaGN affine); ind2 [J, D]
+    (inducers flattened (h, i) -> row h*I+i); kvw [2C, C]; wo [C, C];
+    gind [C, G] -> (h0 [B, I, C], mean_c [B, C] fp32, inv_c [B, C] fp32)."""
+    b, n, c = x.shape
+    j, d = ind2.shape
+    i = j // num_heads
+    h0, mean_c, inv_c = pl.pallas_call(
+        functools.partial(
+            _pool_kernel,
+            num_heads=num_heads,
+            num_inducers=i,
+            scale_qk=1.0 / (d ** 0.5),
+            prenorm=prenorm,
+        ),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, n, c), lambda bi: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda bi: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda bi: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((j, d), lambda bi: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * c, c), lambda bi: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, c), lambda bi: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(gind.shape, lambda bi: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, i, c), lambda bi: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda bi: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda bi: (bi, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, i, c), x.dtype),
+            jax.ShapeDtypeStruct((b, 1, c), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, c), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((c, j), x.dtype)],
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel",)),
+        interpret=_interpret(),
+    )(x, scale[:, None, :], bias[:, None, :], ind2, kvw, wo, gind)
+    mean_c = mean_c[:, 0]
+    inv_c = inv_c[:, 0]
+    # tie outputs together against pallas-output DCE (axon Mosaic bug)
+    h0 = h0 + (0.0 * (mean_c[0, 0] + inv_c[0, 0])).astype(h0.dtype)
+    return h0, mean_c, inv_c
+
+
+_pool_p = custom_partitioning(_pool_impl, static_argnums=(7, 8))
+
+
+def _pool_partition(num_heads, prenorm, mesh, arg_shapes, result_shape):
+    b = _spec_dim(arg_shapes[0].sharding, 0)
+    x_sh = NamedSharding(mesh, P(b, None, None))
+    vec_sh = NamedSharding(mesh, P(b, None))
+    w_sh = NamedSharding(mesh, P(None, None))
+    impl = lambda *a: _pool_impl(*a, num_heads, prenorm)
+    return (
+        mesh,
+        impl,
+        (x_sh, vec_sh, vec_sh),
+        (x_sh, vec_sh, vec_sh, w_sh, w_sh, w_sh, w_sh),
+    )
+
+
+def _pool_infer(num_heads, prenorm, mesh, arg_shapes, result_shape):
+    b = _spec_dim(arg_shapes[0].sharding, 0)
+    x_sh = NamedSharding(mesh, P(b, None, None))
+    vec_sh = NamedSharding(mesh, P(b, None))
+    return (x_sh, vec_sh, vec_sh)
+
+
+_pool_p.def_partition(
+    _pool_partition,
+    infer_sharding_from_operands=_pool_infer,
+    sharding_rule=(
+        "b n c, b c, b c, j d, e c1, c2 c3, c4 g -> b i c, b c, b c"
+    ),
+    need_replication_factors=(
+        "n", "c", "j", "d", "e", "c1", "c2", "c3", "c4", "g", "i"
+    ),
+)
+
+
+def _pool_ref(x, scale, bias, ind2, kvw, wo, num_groups, num_heads, prenorm=True):
+    """XLA twin of ``_pool_impl`` — the backward recomputes through this."""
+    b, n, c = x.shape
+    j, d = ind2.shape
+    i = j // num_heads
+    xf = x.astype(jnp.float32)
+    if prenorm:
+        from gecco_tpu.ops.norms import group_norm_stats
+
+        mean_c, inv_c = group_norm_stats(x, num_groups=num_groups)
+        y = ((xf - mean_c[:, None, :]) * (inv_c * scale)[:, None, :] + bias[:, None, :]).astype(x.dtype)
+    else:
+        mean_c = jnp.zeros((b, c), jnp.float32)
+        inv_c = jnp.ones((b, c), jnp.float32)
+        y = x
+    scale_qk = 1.0 / (d ** 0.5)
+    wk = kvw[:c].astype(y.dtype)  # [C(out), C(in)] rows (h, d)
+    # fold per head: qf[c, hI+i] = scale * sum_d wk[hD+d, c] ind2[hI+i, d]
+    qf = scale_qk * jnp.einsum(
+        "hdc,hid->chi",
+        wk.reshape(num_heads, d, c),
+        ind2.reshape(num_heads, i, d).astype(y.dtype),
+        preferred_element_type=jnp.float32,
+    ).reshape(c, j).astype(y.dtype)
+    logits = jnp.einsum("bnc,cj->bnj", y, qf, preferred_element_type=jnp.float32)
+    lg = logits.reshape(b, n, num_heads, i)
+    lg = lg - jax.lax.stop_gradient(lg.max(axis=1, keepdims=True))
+    p = jnp.exp(lg)
+    p = (p / p.sum(axis=1, keepdims=True)).astype(y.dtype)
+    v = jnp.einsum(
+        "bnc,dc->bnd", y, kvw[c:].astype(y.dtype), preferred_element_type=jnp.float32
+    ).astype(y.dtype)
+    pooled = jnp.einsum(
+        "bnhi,bnhd->bihd",
+        p,
+        v.reshape(b, n, num_heads, d),
+        preferred_element_type=jnp.float32,
+    ).astype(y.dtype)
+    h0 = jnp.einsum(
+        "bic,oc->bio", pooled.reshape(b, i, c), wo.astype(y.dtype),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    return h0, mean_c, inv_c
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def folded_pool_layer(x, scale, bias, ind2, kvw, wo, gind, num_heads, prenorm=True):
+    return _pool_p(x, scale, bias, ind2, kvw, wo, gind, num_heads, prenorm)
+
+
+def _pool_fwd(x, scale, bias, ind2, kvw, wo, gind, num_heads, prenorm):
+    out = _pool_p(x, scale, bias, ind2, kvw, wo, gind, num_heads, prenorm)
+    return out, (x, scale, bias, ind2, kvw, wo, gind)
+
+
+def _pool_bwd(num_heads, prenorm, res, g):
+    x, scale, bias, ind2, kvw, wo, gind = res
+    _, vjp = jax.vjp(
+        lambda xx, sc, bi, iq, kw, ow: _pool_ref(
+            xx, sc, bi, iq, kw, ow, gind.shape[1], num_heads, prenorm
+        ),
+        x, scale, bias, ind2, kvw, wo,
+    )
+    dx, dscale, dbias, dind2, dkvw, dwo = vjp(g)
+    return dx, dscale, dbias, dind2, dkvw, dwo, jnp.zeros_like(gind)
+
+
+folded_pool_layer.defvjp(_pool_fwd, _pool_bwd)
+
+
+# ---------------------------------------------------------------- unpool --
+
+
+def _unpool_kernel(
+    x_ref, se_ref, be_ref, k_ref, v_ref, wq_ref, wo_ref, bmap_ref,
+    o_ref, sums_ref,
+    kf_scratch, vf_scratch,
+    *, num_heads: int, scale_qk: float, residual: bool, prenorm: bool,
+):
+    x = x_ref[0]  # [TN, C]
+    c = x.shape[-1]
+    d = c // num_heads
+    i = k_ref.shape[1]
+
+    ni = pl.program_id(1)
+
+    # fold q/out projections against the inducer-state k/v once per batch
+    # element (scratch persists across the point-tile steps of one batch)
+    @pl.when(ni == 0)
+    def _():
+        for h in range(num_heads):
+            wq_h = wq_ref[h * d : (h + 1) * d, :]  # [D, C]
+            k_h = k_ref[0][:, h * d : (h + 1) * d]  # [I, D]
+            kf_scratch[:, h * i : (h + 1) * i] = (
+                scale_qk
+                * jax.lax.dot_general(
+                    wq_h, k_h, (((0,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            ).astype(kf_scratch.dtype)
+            v_h = v_ref[0][:, h * d : (h + 1) * d]  # [I, D]
+            wo_h = wo_ref[:, h * d : (h + 1) * d]  # [C, D]
+            vf_scratch[h * i : (h + 1) * i, :] = jax.lax.dot_general(
+                v_h, wo_h, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(vf_scratch.dtype)
+
+    if prenorm:
+        y = (x.astype(jnp.float32) * se_ref[0] + be_ref[0]).astype(x.dtype)
+    else:
+        y = x
+    s = jax.lax.dot_general(
+        y, kf_scratch[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [TN, J]
+    p = _blockwise_softmax_lastaxis(s, i, bmap_ref[:])
+    attn = jax.lax.dot_general(
+        p.astype(y.dtype), vf_scratch[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if residual:
+        attn = x.astype(jnp.float32) + attn
+    o_ref[0] = attn.astype(o_ref.dtype)
+
+    # accumulate s1/s2 of the OUTPUT for the next norm's statistics
+    @pl.when(ni == 0)
+    def _():
+        sums_ref[0] = jnp.zeros_like(sums_ref[0])
+
+    s1 = jnp.sum(attn, axis=0, keepdims=True)  # [1, C] fp32
+    s2 = jnp.sum(attn * attn, axis=0, keepdims=True)
+    sums_ref[0] += jnp.concatenate([s1, s2], axis=0)  # [2, C]
+
+
+def _unpool_impl(x, se, be, k, v, wq, wo, num_heads, residual=True, prenorm=True):
+    """x [B, N, C]; se/be [B, C] fp32 (collapsed pre-norm); k/v [B, I, C]
+    (inducer-state projections); wq/wo [C, C]
+    -> (x + attn(x * se + be), output channel sums [B, 2, C] fp32)."""
+    b, n, c = x.shape
+    i = k.shape[1]
+    j = num_heads * i
+    d = c // num_heads
+    tn = _pick_tile_n(n)
+    out, sums = pl.pallas_call(
+        functools.partial(
+            _unpool_kernel,
+            num_heads=num_heads,
+            scale_qk=1.0 / (d ** 0.5),
+            residual=residual,
+            prenorm=prenorm,
+        ),
+        grid=(b, n // tn),
+        in_specs=[
+            pl.BlockSpec((1, tn, c), lambda bi, ni: (bi, ni, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda bi, ni: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda bi, ni: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, i, c), lambda bi, ni: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, i, c), lambda bi, ni: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, c), lambda bi, ni: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, c), lambda bi, ni: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((j, num_heads), lambda bi, ni: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tn, c), lambda bi, ni: (bi, ni, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, c), lambda bi, ni: (bi, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n, c), x.dtype),
+            jax.ShapeDtypeStruct((b, 2, c), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((c, j), x.dtype),
+            pltpu.VMEM((j, c), x.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")
+        ),
+        interpret=_interpret(),
+    )(x, se[:, None, :], be[:, None, :], k, v, wq, wo, block_map(j, num_heads))
+    # tie outputs against pallas-output DCE (axon Mosaic bug)
+    out = out + (0.0 * sums[0, 0, 0]).astype(out.dtype)
+    return out, sums
+
+
+_unpool_p = custom_partitioning(_unpool_impl, static_argnums=(7, 8, 9))
+
+
+def _unpool_partition(num_heads, residual, prenorm, mesh, arg_shapes, result_shape):
+    b, n = (_spec_dim(arg_shapes[0].sharding, i) for i in range(2))
+    x_sh = NamedSharding(mesh, P(b, n, None))
+    vec_sh = NamedSharding(mesh, P(b, None))
+    kv_sh = NamedSharding(mesh, P(b, None, None))
+    w_sh = NamedSharding(mesh, P(None, None))
+    sums_sh = NamedSharding(mesh, P(b, None, None))
+    impl = lambda *a: _unpool_impl(*a, num_heads, residual, prenorm)
+    if n is not None:
+        # point-sharded: each shard's kernel emits PARTIAL sums; reduce them
+        def impl(*a):
+            out, sums = _unpool_impl(*a, num_heads, residual, prenorm)
+            sums = jax.lax.psum(sums, n)
+            return out, sums
+
+    return (
+        mesh,
+        impl,
+        (x_sh, sums_sh),
+        (x_sh, vec_sh, vec_sh, kv_sh, kv_sh, w_sh, w_sh),
+    )
+
+
+def _unpool_infer(num_heads, residual, prenorm, mesh, arg_shapes, result_shape):
+    b, n = (_spec_dim(arg_shapes[0].sharding, i) for i in range(2))
+    return (
+        NamedSharding(mesh, P(b, n, None)),
+        NamedSharding(mesh, P(b, None, None)),
+    )
+
+
+_unpool_p.def_partition(
+    _unpool_partition,
+    infer_sharding_from_operands=_unpool_infer,
+    sharding_rule="b n c, b c, b c, b i c1, b i c2, c3 c4, c5 c6 -> b n c, b t c",
+    need_replication_factors=("c", "i", "c1", "c2", "c3", "c4", "c5", "c6", "t"),
+)
+
+
+def _unpool_ref(x, se, be, k, v, wq, wo, num_heads, residual=True, prenorm=True):
+    """XLA twin of ``_unpool_impl``."""
+    b, n, c = x.shape
+    i = k.shape[1]
+    j = num_heads * i
+    d = c // num_heads
+    scale_qk = 1.0 / (d ** 0.5)
+    if prenorm:
+        y = (x.astype(jnp.float32) * se[:, None, :] + be[:, None, :]).astype(x.dtype)
+    else:
+        y = x
+    kf = scale_qk * jnp.einsum(
+        "hdc,bihd->bchi",
+        wq.astype(y.dtype).reshape(num_heads, d, c),
+        k.reshape(b, i, num_heads, d),
+        preferred_element_type=jnp.float32,
+    ).reshape(b, c, j).astype(y.dtype)
+    vf = jnp.einsum(
+        "bihd,chd->bhic",
+        v.reshape(b, i, num_heads, d),
+        wo.astype(y.dtype).reshape(c, num_heads, d),
+        preferred_element_type=jnp.float32,
+    ).reshape(b, j, c).astype(y.dtype)
+    logits = jnp.einsum("bnc,bcj->bnj", y, kf, preferred_element_type=jnp.float32)
+    lg = logits.reshape(b, n, num_heads, i)
+    lg = lg - jax.lax.stop_gradient(lg.max(axis=-1, keepdims=True))
+    p = jnp.exp(lg)
+    p = (p / p.sum(axis=-1, keepdims=True)).reshape(b, n, j)
+    attn = jnp.einsum(
+        "bnj,bjc->bnc", p.astype(y.dtype), vf, preferred_element_type=jnp.float32
+    )
+    if residual:
+        attn = x.astype(jnp.float32) + attn
+    out = attn.astype(x.dtype)
+    s1 = attn.sum(axis=1)
+    s2 = (attn * attn).sum(axis=1)
+    return out, jnp.stack([s1, s2], axis=1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def folded_unpool(x, se, be, k, v, wq, wo, num_heads, residual=True, prenorm=True):
+    return _unpool_p(x, se, be, k, v, wq, wo, num_heads, residual, prenorm)
+
+
+def _unpool_fwd(x, se, be, k, v, wq, wo, num_heads, residual, prenorm):
+    out = _unpool_p(x, se, be, k, v, wq, wo, num_heads, residual, prenorm)
+    return out, (x, se, be, k, v, wq, wo)
+
+
+def _unpool_bwd(num_heads, residual, prenorm, res, g):
+    x, se, be, k, v, wq, wo = res
+    _, vjp = jax.vjp(
+        lambda *a: _unpool_ref(*a, num_heads, residual, prenorm),
+        x, se, be, k, v, wq, wo,
+    )
+    return vjp(g)
+
+
+folded_unpool.defvjp(_unpool_fwd, _unpool_bwd)
+
+
+# ------------------------------------------------------------- fused mlp --
+
+
+def _mlp_kernel(x_ref, se_ref, be_ref, w1t_ref, b1_ref, w2t_ref, b2_ref, o_ref):
+    x = x_ref[0]  # [TN, C]
+    y = (x.astype(jnp.float32) * se_ref[0] + be_ref[0]).astype(x.dtype)
+    h = jax.lax.dot_general(
+        y, w1t_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) + b1_ref[:]  # [TN, W], alpha already folded into w1t/b1 by the caller
+    g = jnp.exp(-0.5 * h * h).astype(y.dtype)  # Gaussian activation
+    out = jax.lax.dot_general(
+        g, w2t_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) + b2_ref[:]
+    o_ref[0] = (x.astype(jnp.float32) + out).astype(o_ref.dtype)
+
+
+def _mlp_impl(x, se, be, w1t, b1, w2t, b2):
+    """x [B,N,C]; w1t [C,W], b1 [1,W] (alpha-folded); w2t [W,C], b2 [1,C]
+    (normalized-activation-folded) -> x + mlp(x * se + be)."""
+    b, n, c = x.shape
+    w = w1t.shape[-1]
+    tn = _pick_tile_n(n)
+    return pl.pallas_call(
+        _mlp_kernel,
+        grid=(b, n // tn),
+        in_specs=[
+            pl.BlockSpec((1, tn, c), lambda bi, ni: (bi, ni, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda bi, ni: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda bi, ni: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, w), lambda bi, ni: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, w), lambda bi, ni: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, c), lambda bi, ni: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda bi, ni: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tn, c), lambda bi, ni: (bi, ni, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, n, c), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")
+        ),
+        interpret=_interpret(),
+    )(x, se[:, None, :], be[:, None, :], w1t, b1, w2t, b2)
+
+
+_mlp_p = custom_partitioning(_mlp_impl)
+
+
+def _mlp_partition(mesh, arg_shapes, result_shape):
+    b, n = (_spec_dim(arg_shapes[0].sharding, i) for i in range(2))
+    x_sh = NamedSharding(mesh, P(b, n, None))
+    vec_sh = NamedSharding(mesh, P(b, None))
+    w_sh = NamedSharding(mesh, P(None, None))
+    return mesh, _mlp_impl, x_sh, (x_sh, vec_sh, vec_sh, w_sh, w_sh, w_sh, w_sh)
+
+
+def _mlp_infer(mesh, arg_shapes, result_shape):
+    b, n = (_spec_dim(arg_shapes[0].sharding, i) for i in range(2))
+    return NamedSharding(mesh, P(b, n, None))
+
+
+_mlp_p.def_partition(
+    _mlp_partition,
+    infer_sharding_from_operands=_mlp_infer,
+    sharding_rule="b n c, b c, b c, c w, u w, w c1, u1 c1 -> b n c1",
+    need_replication_factors=("c", "w", "u", "c1", "u1"),
+)
+
+
+def _mlp_ref(x, se, be, w1t, b1, w2t, b2):
+    y = (x.astype(jnp.float32) * se[:, None, :] + be[:, None, :]).astype(x.dtype)
+    h = (
+        jnp.einsum("bnc,cw->bnw", y, w1t, preferred_element_type=jnp.float32)
+        + b1[None]
+    )
+    g = jnp.exp(-0.5 * h * h).astype(y.dtype)
+    out = (
+        jnp.einsum("bnw,wc->bnc", g, w2t, preferred_element_type=jnp.float32)
+        + b2[None]
+    )
+    return (x.astype(jnp.float32) + out).astype(x.dtype)
+
+
+@jax.custom_vjp
+def fused_mlp_residual(x, se, be, w1t, b1, w2t, b2):
+    return _mlp_p(x, se, be, w1t, b1, w2t, b2)
+
+
+def _mlp_fwd(x, se, be, w1t, b1, w2t, b2):
+    return _mlp_p(x, se, be, w1t, b1, w2t, b2), (x, se, be, w1t, b1, w2t, b2)
+
+
+def _mlp_bwd(res, g):
+    _, vjp = jax.vjp(_mlp_ref, *res)
+    return vjp(g)
+
+
+fused_mlp_residual.defvjp(_mlp_fwd, _mlp_bwd)

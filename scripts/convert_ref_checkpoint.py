@@ -54,7 +54,7 @@ def build_model(
         embed_dim=1,
         num_heads=num_heads,
         compute_dtype=jnp.bfloat16,
-        attn_impl="pallas",
+        attn_impl="folded_pallas",
         ref_jax_compat=True,
     )
     net = UnconditionalPointNetwork.init(nk, backbone, feature_dim=feature_dim)

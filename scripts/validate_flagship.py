@@ -1,0 +1,156 @@
+"""Flagship-scale convergence validation (VERDICT r1 #4).
+
+Trains the FLAGSHIP denoiser (6 layers x feature_dim 384, 64 inducers,
+8 heads — ref gecco-torch/example_configs/shapenet_airplane_unconditional.py:
+32-43) in its production setup (bf16, remat, fused Pallas kernels, batch 48)
+on a procedural shape distribution, and periodically measures generative
+quality (1-NN / MMD / COV, gecco_tpu.benchmark semantics) of the EMA model.
+
+Purpose: certify that the custom Pallas forward+backward is quality-neutral
+at full scale — run once with ``--attn-impl folded_pallas`` and once with
+``--attn-impl xla`` and compare curves; 1-NN -> ~0.5 means samples are
+indistinguishable from held-out data.
+
+The procedural distribution is a 4-family parametric shape mixture
+(ellipsoid shells, boxes, two-lobe blends, tori) with per-example pose and
+scale jitter: structured enough that an untrained model scores 1-NN ~ 1.0,
+cheap enough to generate on the fly.
+
+Usage (TPU, ~30 min per arm at the default 3000 steps):
+    python scripts/validate_flagship.py --attn-impl folded_pallas \
+        --steps 3000 --out /tmp/flagship_folded.jsonl
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+
+def make_clouds(rng: np.random.Generator, n: int, n_points: int) -> np.ndarray:
+    """Sample n procedural clouds [n, n_points, 3], zero-mean, ~0.35 std."""
+    out = np.empty((n, n_points, 3), np.float32)
+    for idx in range(n):
+        family = rng.integers(4)
+        u = rng.uniform(0, 2 * np.pi, n_points)
+        v = rng.uniform(-1, 1, n_points)
+        if family == 0:  # ellipsoid shell
+            r = np.sqrt(1 - v**2)
+            pts = np.stack([r * np.cos(u), r * np.sin(u), v], -1)
+            pts *= rng.uniform(0.4, 1.0, 3)
+        elif family == 1:  # box surface
+            pts = rng.uniform(-1, 1, (n_points, 3))
+            ax = rng.integers(0, 3, n_points)
+            pts[np.arange(n_points), ax] = np.sign(pts[np.arange(n_points), ax])
+            pts *= rng.uniform(0.4, 0.9, 3)
+        elif family == 2:  # two-lobe blend
+            r = np.sqrt(1 - v**2)
+            pts = np.stack([r * np.cos(u), r * np.sin(u), v], -1) * 0.5
+            side = rng.integers(0, 2, n_points) * 2 - 1
+            pts[:, 0] += side * rng.uniform(0.3, 0.6)
+        else:  # torus
+            w = rng.uniform(0, 2 * np.pi, n_points)
+            rr = rng.uniform(0.15, 0.35)
+            pts = np.stack(
+                [
+                    (1 + rr * np.cos(w)) * np.cos(u),
+                    (1 + rr * np.cos(w)) * np.sin(u),
+                    rr * np.sin(w),
+                ],
+                -1,
+            ) * 0.6
+        # random rotation about z + global scale to ~0.35 std
+        th = rng.uniform(0, 2 * np.pi)
+        rot = np.array(
+            [[np.cos(th), -np.sin(th), 0], [np.sin(th), np.cos(th), 0], [0, 0, 1]]
+        )
+        pts = pts @ rot.T
+        pts -= pts.mean(0)
+        pts *= 0.35 / (pts.std() + 1e-8)
+        out[idx] = pts
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--attn-impl", default="folded_pallas")
+    ap.add_argument("--steps", type=int, default=3000)
+    ap.add_argument("--batch", type=int, default=48)
+    ap.add_argument("--n-points", type=int, default=2048)
+    ap.add_argument("--eval-every", type=int, default=500)
+    ap.add_argument("--eval-clouds", type=int, default=64)
+    ap.add_argument("--sampler-steps", type=int, default=64)
+    ap.add_argument("--out", default="/tmp/flagship_validation.jsonl")
+    args = ap.parse_args()
+
+    from gecco_tpu import Diffusion, GaussianReparam, LogUniformSchedule
+    from gecco_tpu.benchmark import batched_pairwise_distance, cov, mmd, one_nn_accuracy
+    from gecco_tpu.models import SetTransformer, UnconditionalPointNetwork
+    from gecco_tpu.train import make_train_step
+
+    key = jax.random.PRNGKey(0)
+    bk, nk = jax.random.split(key)
+    backbone = SetTransformer.init(
+        bk, n_layers=6, feature_dim=384, num_inducers=64, embed_dim=1,
+        num_heads=8, compute_dtype=jnp.bfloat16, attn_impl=args.attn_impl,
+        remat=True,
+    )
+    net = UnconditionalPointNetwork.init(nk, backbone, feature_dim=384)
+    sched = LogUniformSchedule(
+        sigma_max=165.0, sigma_min=0.002, n_solver_steps=args.sampler_steps
+    )
+    model = Diffusion.init(
+        net, sched, reparam=GaussianReparam.init([0.0] * 3, [0.35] * 3)
+    )
+
+    opt = optax.chain(optax.clip_by_global_norm(1.0), optax.adabelief(3e-4))
+    step = make_train_step(opt)
+    ema = jax.tree.map(jnp.copy, model)
+    opt_state = opt.init(model)
+
+    rng = np.random.default_rng(0)
+    heldout = make_clouds(np.random.default_rng(12345), args.eval_clouds, args.n_points)
+
+    sample_fn = jax.jit(
+        lambda m, k: m.sample(k, (args.eval_clouds, args.n_points, 3))
+    )
+
+    def evaluate(ema_model, step_no, t_start):
+        samples = np.asarray(sample_fn(ema_model, jax.random.PRNGKey(step_no)))
+        ss = np.asarray(batched_pairwise_distance(samples, samples))
+        sd = np.asarray(batched_pairwise_distance(samples, heldout))
+        dd = np.asarray(batched_pairwise_distance(heldout, heldout))
+        rec = {
+            "step": step_no,
+            "attn_impl": args.attn_impl,
+            "wall_s": round(time.time() - t_start, 1),
+            "one_nn": round(one_nn_accuracy(ss, sd, dd), 4),
+            "mmd": mmd(sd),
+            "cov": cov(sd),
+        }
+        with open(args.out, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        print(rec, flush=True)
+
+    t0 = time.time()
+    losses = []
+    for i in range(args.steps):
+        pts = jnp.asarray(make_clouds(rng, args.batch, args.n_points))
+        loss, model, ema, opt_state = step(
+            model, ema, opt_state, pts, None, jax.random.fold_in(key, i)
+        )
+        if i % 100 == 0:
+            losses.append(float(loss))
+            print(f"step {i} loss {losses[-1]:.4f}", flush=True)
+        if (i + 1) % args.eval_every == 0 or i + 1 == args.steps:
+            evaluate(ema, i + 1, t0)
+
+
+if __name__ == "__main__":
+    main()

@@ -27,7 +27,12 @@ def test_two_process_training_matches_single_process():
 
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)  # child sets its own device count
-    env["PYTHONPATH"] = here + os.pathsep + env.get("PYTHONPATH", "")
+    # the child needs both the tests dir (multihost_common) and the repo root
+    # (gecco_tpu, when not pip-installed) importable
+    repo_root = os.path.dirname(here)
+    env["PYTHONPATH"] = (
+        here + os.pathsep + repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    )
 
     procs = [
         subprocess.Popen(

@@ -150,3 +150,180 @@ def test_pallas_gather_spmd():
     ls = jax.device_put(level, NamedSharding(mesh, P("data", None, None, None)))
     cs = jax.device_put(coords, NamedSharding(mesh, P("data", "seq", None)))
     np.testing.assert_allclose(np.asarray(f(ls, cs)), ref, rtol=1e-5)
+
+
+def test_folded_attention_pool_matches_xla():
+    """The folded-projection pool (ops/attention.py) is the same function as
+    the per-head path — exact algebra, different matmul shapes."""
+    from gecco_tpu.models.set_transformer import AttentionPool
+
+    pool = AttentionPool.init(jax.random.PRNGKey(0), 96, num_heads=4, num_inducers=16)
+    x = jax.random.normal(jax.random.PRNGKey(1), (3, 128, 96))
+    a = pool(x, attn_impl="xla")
+    b = pool(x, attn_impl="folded")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_folded_attention_unpool_matches_xla():
+    from gecco_tpu.models.set_transformer import Unpool
+
+    unpool = Unpool.init(jax.random.PRNGKey(2), 96, num_heads=4)
+    x = jax.random.normal(jax.random.PRNGKey(3), (3, 128, 96))
+    h = jax.random.normal(jax.random.PRNGKey(4), (3, 16, 96))
+    a = unpool(x, h, attn_impl="xla")
+    b = unpool(x, h, attn_impl="folded")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_folded_attention_grads_match_xla():
+    """Folded path is plain einsums — autodiff must agree with the per-head
+    path for both the inputs and the (folded) projection weights."""
+    from gecco_tpu.models.set_transformer import Broadcast
+
+    layer = Broadcast.init(
+        jax.random.PRNGKey(5), 64, num_inducers=8, embed_dim=32, num_heads=4
+    )
+    x = jax.random.normal(jax.random.PRNGKey(6), (2, 64, 64))
+    embed = jax.random.normal(jax.random.PRNGKey(7), (2, 32))
+
+    def loss(impl):
+        def f(lyr, xx):
+            out, _ = lyr(xx, embed, attn_impl=impl)
+            return (out**2).sum()
+
+        return f
+
+    ga = jax.grad(loss("xla"), argnums=(0, 1))(layer, x)
+    gb = jax.grad(loss("folded"), argnums=(0, 1))(layer, x)
+    for a, b in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-4
+        )
+
+
+def test_folded_attention_spmd_data_and_seq():
+    """Folded attention is plain einsums: GSPMD must partition it over
+    data x seq with identical numerics (no custom_partitioning needed)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from gecco_tpu.models.set_transformer import SetTransformer
+    from gecco_tpu.parallel import make_mesh
+
+    mesh = make_mesh(data=4, seq=2)
+    st = SetTransformer.init(
+        jax.random.PRNGKey(8), n_layers=2, feature_dim=64, num_inducers=8,
+        embed_dim=32, num_heads=4, compute_dtype=jnp.float32, attn_impl="folded",
+    )
+    x = jax.random.normal(jax.random.PRNGKey(9), (4, 64, 64))
+    embed = jax.random.normal(jax.random.PRNGKey(10), (4, 32))
+
+    f = jax.jit(lambda xx, ee: st(xx, ee))
+    ref = np.asarray(f(x, embed))
+    xs = jax.device_put(x, NamedSharding(mesh, P("data", "seq", None)))
+    es = jax.device_put(embed, NamedSharding(mesh, P("data", None)))
+    np.testing.assert_allclose(np.asarray(f(xs, es)), ref, rtol=1e-4, atol=1e-5)
+
+
+def test_folded_pallas_matches_xla():
+    """The folded megakernels (ops/pallas/folded_attention.py) in interpret
+    mode: same function as the per-head XLA path, grads included."""
+    from gecco_tpu.models.set_transformer import AttentionPool, Broadcast, Unpool
+
+    pool = AttentionPool.init(jax.random.PRNGKey(0), 96, num_heads=4, num_inducers=16)
+    x = jax.random.normal(jax.random.PRNGKey(1), (3, 128, 96))
+    np.testing.assert_allclose(
+        np.asarray(pool(x, attn_impl="xla")),
+        np.asarray(pool(x, attn_impl="folded_pallas")),
+        rtol=1e-4, atol=1e-5,
+    )
+
+    unpool = Unpool.init(jax.random.PRNGKey(2), 96, num_heads=4)
+    h = jax.random.normal(jax.random.PRNGKey(4), (3, 16, 96))
+    np.testing.assert_allclose(
+        np.asarray(unpool(x, h, attn_impl="xla")),
+        np.asarray(unpool(x, h, attn_impl="folded_pallas")),
+        rtol=1e-4, atol=1e-5,
+    )
+
+    layer = Broadcast.init(
+        jax.random.PRNGKey(5), 64, num_inducers=8, embed_dim=32, num_heads=4
+    )
+    xx = jax.random.normal(jax.random.PRNGKey(6), (2, 64, 64))
+    embed = jax.random.normal(jax.random.PRNGKey(7), (2, 32))
+
+    def loss(impl):
+        def f(lyr, z):
+            out, _ = lyr(z, embed, attn_impl=impl)
+            return (out**2).sum()
+
+        return f
+
+    ga = jax.grad(loss("xla"), argnums=(0, 1))(layer, xx)
+    gb = jax.grad(loss("folded_pallas"), argnums=(0, 1))(layer, xx)
+    for a, b in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-4)
+
+
+def test_folded_pallas_spmd_data_and_seq():
+    """folded_pallas under a data x seq mesh (custom_partitioning wrapping):
+    forward and grads match the unsharded run up to reduction-order noise."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from gecco_tpu.models.set_transformer import SetTransformer
+    from gecco_tpu.parallel import make_mesh
+
+    mesh = make_mesh(data=4, seq=2)
+    st = SetTransformer.init(
+        jax.random.PRNGKey(8), n_layers=2, feature_dim=64, num_inducers=8,
+        embed_dim=32, num_heads=4, compute_dtype=jnp.float32,
+        attn_impl="folded_pallas",
+    )
+    x = jax.random.normal(jax.random.PRNGKey(9), (4, 64, 64))
+    embed = jax.random.normal(jax.random.PRNGKey(10), (4, 32))
+    f = jax.jit(lambda xx, ee: st(xx, ee))
+    ref = np.asarray(f(x, embed))
+    xs = jax.device_put(x, NamedSharding(mesh, P("data", "seq", None)))
+    es = jax.device_put(embed, NamedSharding(mesh, P("data", None)))
+    np.testing.assert_allclose(np.asarray(f(xs, es)), ref, rtol=5e-3, atol=5e-4)
+
+    g = jax.jit(jax.grad(lambda m, xx: (m(xx, embed) ** 2).sum(), argnums=(0, 1)))
+    ga = g(st, x)
+    gb = g(st, xs)
+    for a, b in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-4)
+
+
+def test_folded_pool_vmem_gate_falls_back():
+    """Shapes whose [N, J] logits exceed VMEM must silently take the XLA
+    folded path (the scaled 8k config)."""
+    from gecco_tpu.ops.pallas.folded_attention import pool_vmem_ok
+
+    assert pool_vmem_ok(2048, 384, 512)
+    assert not pool_vmem_ok(8192, 512, 512)
+
+
+def test_pallas_gather_bwd_spmd():
+    """The Pallas-native gather backward under a data x seq mesh: grads match
+    the unsharded run (point axis gathered around the backward)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from gecco_tpu.ops.pallas.projective_gather import bilinear_lookup_pallas
+    from gecco_tpu.parallel import make_mesh
+
+    mesh = make_mesh(data=4, seq=2)
+    level = jax.random.normal(jax.random.PRNGKey(20), (4, 8, 8, 16))
+    coords = jax.random.uniform(
+        jax.random.PRNGKey(21), (4, 32, 2), minval=-1.0, maxval=9.0
+    )
+    grad_fn = jax.jit(
+        jax.grad(
+            lambda lv, co: (bilinear_lookup_pallas(lv, co) ** 2).sum(),
+            argnums=(0, 1),
+        )
+    )
+    ref = grad_fn(level, coords)
+    ls = jax.device_put(level, NamedSharding(mesh, P("data", None, None, None)))
+    cs = jax.device_put(coords, NamedSharding(mesh, P("data", "seq", None)))
+    out = grad_fn(ls, cs)
+    for a, b in zip(ref, out):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)

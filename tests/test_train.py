@@ -238,7 +238,7 @@ def test_flagship_path_mesh_matches_single_device():
     bk, nk = jax.random.split(jax.random.PRNGKey(0))
     backbone = SetTransformer.init(
         bk, n_layers=2, feature_dim=64, num_inducers=8, embed_dim=1, num_heads=4,
-        compute_dtype=jnp.bfloat16, attn_impl="pallas", remat=True,
+        compute_dtype=jnp.bfloat16, attn_impl="folded_pallas", remat=True,
     )
     net = UnconditionalPointNetwork.init(nk, backbone, feature_dim=64)
     sched = LogUniformSchedule(sigma_max=10.0, n_solver_steps=8)
