@@ -544,6 +544,254 @@ _unpool_p.def_partition(
 )
 
 
+def _unpool_bwd_kernel(
+    x_ref, se_ref, be_ref, k_ref, v_ref, wq_ref, wo_ref, bmap_ref,
+    g_ref, gs_ref,
+    dx_ref, dkf_ref, dvf_ref, dse_ref, dbe_ref,
+    kf_scratch, vf_scratch,
+    *, num_heads: int, scale_qk: float, residual: bool, prenorm: bool,
+):
+    """Backward of the fused unpool: recompute the forward per tile in VMEM
+    (folded operands in scratch, logits, softmax, output incl. residual),
+    then the softmax/value/pre-norm backward — per-block statistics via the
+    same one-hot indicator matmuls as the forward. The folded-operand
+    cotangents (d_kf, d_vf) accumulate per batch element; the caller chains
+    them through the (tiny) fold jacobians to dk/dv/dwq/dwo in XLA."""
+    x = x_ref[0]  # [TN, C]
+    c = x.shape[-1]
+    d = c // num_heads
+    i = k_ref.shape[1]
+    ni = pl.program_id(1)
+
+    @pl.when(ni == 0)
+    def _():
+        for h in range(num_heads):
+            wq_h = wq_ref[h * d : (h + 1) * d, :]
+            k_h = k_ref[0][:, h * d : (h + 1) * d]
+            kf_scratch[:, h * i : (h + 1) * i] = (
+                scale_qk
+                * jax.lax.dot_general(
+                    wq_h, k_h, (((0,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            ).astype(kf_scratch.dtype)
+            v_h = v_ref[0][:, h * d : (h + 1) * d]
+            wo_h = wo_ref[:, h * d : (h + 1) * d]
+            vf_scratch[h * i : (h + 1) * i, :] = jax.lax.dot_general(
+                v_h, wo_h, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(vf_scratch.dtype)
+
+    if prenorm:
+        se = se_ref[0]
+        y = (x.astype(jnp.float32) * se + be_ref[0]).astype(x.dtype)
+    else:
+        y = x
+    bmap = bmap_ref[:]
+    s = jax.lax.dot_general(
+        y, kf_scratch[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    p = _blockwise_softmax_lastaxis(s, i, bmap)
+    p_b = p.astype(y.dtype)
+    attn = jax.lax.dot_general(
+        p_b, vf_scratch[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if residual:
+        attn = x.astype(jnp.float32) + attn
+
+    # cotangent of the (fp32) output incl. the sums outputs
+    g = g_ref[0].astype(jnp.float32)
+    gs1 = gs_ref[0, 0:1, :]  # [1, C]
+    gs2 = gs_ref[0, 1:2, :]
+    d_attn = g + gs1 + 2.0 * attn * gs2
+    d_attn_b = d_attn.astype(y.dtype)
+
+    # value side
+    dp = jax.lax.dot_general(
+        d_attn_b, vf_scratch[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [TN, J]
+    # softmax backward per block: ds = p * (dp - blocksum(dp * p))
+    t = jax.lax.dot_general(
+        dp * p, bmap, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [TN, nb]
+    t_exp = jax.lax.dot_general(
+        t, bmap, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = p * (dp - t_exp)
+    ds_b = ds.astype(y.dtype)
+
+    dy = jax.lax.dot_general(
+        ds_b, kf_scratch[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [TN, C]
+
+    if prenorm:
+        dx = dy * se
+        if residual:
+            dx = dx + d_attn
+    else:
+        dx = dy + d_attn if residual else dy
+    dx_ref[0] = dx.astype(dx_ref.dtype)
+
+    @pl.when(ni == 0)
+    def _():
+        dkf_ref[0] = jnp.zeros_like(dkf_ref[0])
+        dvf_ref[0] = jnp.zeros_like(dvf_ref[0])
+        dse_ref[0] = jnp.zeros_like(dse_ref[0])
+        dbe_ref[0] = jnp.zeros_like(dbe_ref[0])
+
+    dkf_ref[0] += jax.lax.dot_general(
+        y, ds_b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [C, J]
+    dvf_ref[0] += jax.lax.dot_general(
+        p_b, d_attn_b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [J, C]
+    if prenorm:
+        dse_ref[0] += jnp.sum(dy * x.astype(jnp.float32), axis=0, keepdims=True)
+        dbe_ref[0] += jnp.sum(dy, axis=0, keepdims=True)
+
+
+def _unpool_bwd_impl(x, se, be, k, v, wq, wo, g, g_sums, num_heads, residual, prenorm):
+    b, n, c = x.shape
+    i = k.shape[1]
+    j = num_heads * i
+    d = c // num_heads
+    tn = min(_pick_tile_n(n), 512)  # bwd holds ~4 [TN, J] fp32 intermediates
+    outs = pl.pallas_call(
+        functools.partial(
+            _unpool_bwd_kernel,
+            num_heads=num_heads,
+            scale_qk=1.0 / (d ** 0.5),
+            residual=residual,
+            prenorm=prenorm,
+        ),
+        grid=(b, n // tn),
+        in_specs=[
+            pl.BlockSpec((1, tn, c), lambda bi, ni: (bi, ni, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda bi, ni: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda bi, ni: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, i, c), lambda bi, ni: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, i, c), lambda bi, ni: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, c), lambda bi, ni: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, c), lambda bi, ni: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((j, num_heads), lambda bi, ni: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn, c), lambda bi, ni: (bi, ni, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, c), lambda bi, ni: (bi, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tn, c), lambda bi, ni: (bi, ni, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, j), lambda bi, ni: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, j, c), lambda bi, ni: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda bi, ni: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda bi, ni: (bi, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n, c), x.dtype),
+            jax.ShapeDtypeStruct((b, c, j), jnp.float32),
+            jax.ShapeDtypeStruct((b, j, c), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, c), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, c), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((c, j), x.dtype),
+            pltpu.VMEM((j, c), x.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")
+        ),
+        interpret=_interpret(),
+    )(
+        x, se[:, None, :], be[:, None, :], k, v, wq, wo,
+        block_map(j, num_heads), g, g_sums,
+    )
+    dx, dkf, dvf, dse, dbe = outs
+    tie = 0.0 * (dkf[0, 0, 0] + dvf[0, 0, 0] + dse[0, 0, 0] + dbe[0, 0, 0])
+    dx = dx + tie.astype(dx.dtype)
+
+    # chain the folded-operand cotangents through the fold jacobians (tiny)
+    dt = x.dtype
+    scale_qk = 1.0 / (d ** 0.5)
+    wq_r = wq.astype(dt).reshape(num_heads, d, c)
+    wo_r = wo.astype(dt).reshape(c, num_heads, d)
+    dkf_r = dkf.reshape(b, c, num_heads, i)
+    dvf_r = dvf.reshape(b, num_heads, i, c)
+    k_r = k.reshape(b, i, num_heads, d)
+    v_r = v.reshape(b, i, num_heads, d)
+    dk = scale_qk * jnp.einsum(
+        "hdc,bchi->bihd", wq_r.astype(jnp.float32), dkf_r
+    ).reshape(b, i, c).astype(k.dtype)
+    dwq = scale_qk * jnp.einsum(
+        "bihd,bchi->hdc", k_r.astype(jnp.float32), dkf_r
+    ).reshape(c, c).astype(wq.dtype)
+    dv = jnp.einsum(
+        "chd,bhic->bihd", wo_r.astype(jnp.float32), dvf_r
+    ).reshape(b, i, c).astype(v.dtype)
+    dwo = jnp.einsum(
+        "bihd,bhic->chd", v_r.astype(jnp.float32), dvf_r
+    ).reshape(c, c).astype(wo.dtype)
+    return dx, dse[:, 0], dbe[:, 0], dk, dv, dwq, dwo
+
+
+_unpool_bwd_p = custom_partitioning(_unpool_bwd_impl, static_argnums=(9, 10, 11))
+
+
+def _unpool_bwd_partition(num_heads, residual, prenorm, mesh, arg_shapes, result_shape):
+    b, n = (_spec_dim(arg_shapes[0].sharding, i) for i in range(2))
+    x_sh = NamedSharding(mesh, P(b, n, None))
+    vec_sh = NamedSharding(mesh, P(b, None))
+    kv_sh = NamedSharding(mesh, P(b, None, None))
+    w_sh = NamedSharding(mesh, P(None, None))
+    sums_sh = NamedSharding(mesh, P(b, None, None))
+
+    def impl(x, se, be, k, v, wq, wo, g, g_sums):
+        outs = _unpool_bwd_impl(
+            x, se, be, k, v, wq, wo, g, g_sums, num_heads, residual, prenorm
+        )
+        dx, dse, dbe, dk, dv, dwq, dwo = outs
+        if n is not None:
+            dse = jax.lax.psum(dse, n)
+            dbe = jax.lax.psum(dbe, n)
+            dk = jax.lax.psum(dk, n)
+            dv = jax.lax.psum(dv, n)
+        for ax in (b, n):
+            if ax is not None:
+                dwq = jax.lax.psum(dwq, ax)
+                dwo = jax.lax.psum(dwo, ax)
+        return dx, dse, dbe, dk, dv, dwq, dwo
+
+    return (
+        mesh,
+        impl,
+        (x_sh, vec_sh, vec_sh, kv_sh, kv_sh, w_sh, w_sh),
+        (x_sh, vec_sh, vec_sh, kv_sh, kv_sh, w_sh, w_sh, x_sh, sums_sh),
+    )
+
+
+def _unpool_bwd_infer(num_heads, residual, prenorm, mesh, arg_shapes, result_shape):
+    b, n = (_spec_dim(arg_shapes[0].sharding, i) for i in range(2))
+    x_sh = NamedSharding(mesh, P(b, n, None))
+    vec_sh = NamedSharding(mesh, P(b, None))
+    kv_sh = NamedSharding(mesh, P(b, None, None))
+    w_sh = NamedSharding(mesh, P(None, None))
+    return (x_sh, vec_sh, vec_sh, kv_sh, kv_sh, w_sh, w_sh)
+
+
+_unpool_bwd_p.def_partition(
+    _unpool_bwd_partition,
+    infer_sharding_from_operands=_unpool_bwd_infer,
+    sharding_rule=(
+        "b n c, b c, b c, b i c1, b i c2, c3 c4, c5 c6, b n c7, b t c8 "
+        "-> b n c, b c, b c, b i c1, b i c2, c3 c4, c5 c6"
+    ),
+    need_replication_factors=(
+        "c", "i", "c1", "c2", "c3", "c4", "c5", "c6", "c7", "t", "c8"
+    ),
+)
+
+
 def _unpool_ref(x, se, be, k, v, wq, wo, num_heads, residual=True, prenorm=True):
     """XLA twin of ``_unpool_impl``."""
     b, n, c = x.shape
@@ -595,11 +843,12 @@ def _unpool_fwd(x, se, be, k, v, wq, wo, num_heads, residual, prenorm):
 
 def _unpool_bwd(num_heads, residual, prenorm, res, g):
     x, se, be, k, v, wq, wo = res
-    _, vjp = jax.vjp(
-        lambda *a: _unpool_ref(*a, num_heads, residual, prenorm),
+    g_out, g_sums = g
+    return _unpool_bwd_p(
         x, se, be, k, v, wq, wo,
+        g_out.astype(x.dtype), g_sums.astype(jnp.float32),
+        num_heads, residual, prenorm,
     )
-    return vjp(g)
 
 
 folded_unpool.defvjp(_unpool_fwd, _unpool_bwd)
@@ -674,6 +923,127 @@ _mlp_p.def_partition(
 )
 
 
+def _mlp_bwd_kernel(
+    x_ref, se_ref, be_ref, w1t_ref, b1_ref, w2t_ref, b2_ref, g_ref,
+    dx_ref, dse_ref, dbe_ref, dw1t_ref, db1_ref, dw2t_ref, db2_ref,
+):
+    """Backward of the fused MLP, recomputing the forward per tile in VMEM.
+
+    Weight gradients accumulate in fp32 output blocks whose index map is
+    constant over the whole (b, n-tile) grid; dse/dbe accumulate per batch
+    element over its point tiles. The XLA twin's backward round-trips two
+    [B, N, W] intermediates through HBM (~1.6 GB/layer at flagship shapes);
+    this keeps them in VMEM.
+    """
+    first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
+    ni = pl.program_id(1)
+
+    x = x_ref[0]  # [TN, C]
+    g = g_ref[0].astype(jnp.float32)  # [TN, C]
+    se = se_ref[0]  # [1, C] fp32
+    yf = x.astype(jnp.float32) * se + be_ref[0]
+    y = yf.astype(x.dtype)
+    h = jax.lax.dot_general(
+        y, w1t_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) + b1_ref[:]  # [TN, W]
+    a = jnp.exp(-0.5 * h * h)  # fp32
+    a_b = a.astype(y.dtype)
+
+    gb = g.astype(y.dtype)
+    # da = g @ w2t^T ; dh = da * a * (-h)
+    da = jax.lax.dot_general(
+        gb, w2t_ref[:], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [TN, W]
+    dh = da * a * (-h)
+    dh_b = dh.astype(y.dtype)
+    # dy = dh @ w1t^T ; dx = g + dy * se
+    dy = jax.lax.dot_general(
+        dh_b, w1t_ref[:], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [TN, C]
+    dx_ref[0] = (g + dy * se).astype(dx_ref.dtype)
+
+    @pl.when(first)
+    def _():
+        dw1t_ref[:] = jnp.zeros_like(dw1t_ref)
+        db1_ref[:] = jnp.zeros_like(db1_ref)
+        dw2t_ref[:] = jnp.zeros_like(dw2t_ref)
+        db2_ref[:] = jnp.zeros_like(db2_ref)
+
+    # weight grads: accumulate over the whole grid
+    dw1t_ref[:] += jax.lax.dot_general(
+        y, dh_b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    db1_ref[:] += jnp.sum(dh, axis=0, keepdims=True)
+    dw2t_ref[:] += jax.lax.dot_general(
+        a_b, gb, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    db2_ref[:] += jnp.sum(g, axis=0, keepdims=True)
+
+    # pre-norm affine grads: accumulate per batch element over point tiles
+    @pl.when(ni == 0)
+    def _():
+        dse_ref[0] = jnp.zeros_like(dse_ref[0])
+        dbe_ref[0] = jnp.zeros_like(dbe_ref[0])
+
+    dse_ref[0] += jnp.sum(dy * x.astype(jnp.float32), axis=0, keepdims=True)
+    dbe_ref[0] += jnp.sum(dy, axis=0, keepdims=True)
+
+
+def _mlp_bwd_impl(x, se, be, w1t, b1, w2t, b2, g):
+    b, n, c = x.shape
+    w = w1t.shape[-1]
+    tn = min(_pick_tile_n(n), 512)  # bwd holds four [TN, W] fp32 intermediates
+    outs = pl.pallas_call(
+        _mlp_bwd_kernel,
+        grid=(b, n // tn),
+        in_specs=[
+            pl.BlockSpec((1, tn, c), lambda bi, ni: (bi, ni, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda bi, ni: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda bi, ni: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, w), lambda bi, ni: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, w), lambda bi, ni: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, c), lambda bi, ni: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda bi, ni: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn, c), lambda bi, ni: (bi, ni, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tn, c), lambda bi, ni: (bi, ni, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda bi, ni: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda bi, ni: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, w), lambda bi, ni: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, w), lambda bi, ni: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, c), lambda bi, ni: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda bi, ni: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n, c), x.dtype),
+            jax.ShapeDtypeStruct((b, 1, c), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, c), jnp.float32),
+            jax.ShapeDtypeStruct((c, w), jnp.float32),
+            jax.ShapeDtypeStruct((1, w), jnp.float32),
+            jax.ShapeDtypeStruct((w, c), jnp.float32),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")
+        ),
+        interpret=_interpret(),
+    )(x, se[:, None, :], be[:, None, :], w1t, b1, w2t, b2, g)
+    dx, dse, dbe, dw1t, db1, dw2t, db2 = outs
+    # tie outputs against pallas-output DCE (axon Mosaic bug)
+    tie = 0.0 * (dse[0, 0, 0] + dw1t[0, 0] + dw2t[0, 0] + db1[0, 0] + db2[0, 0] + dbe[0, 0, 0])
+    dx = dx + tie.astype(dx.dtype)
+    return (
+        dx,
+        dse[:, 0],
+        dbe[:, 0],
+        dw1t.astype(w1t.dtype),
+        db1[0].astype(b1.dtype) if b1.ndim == 1 else db1.astype(b1.dtype),
+        dw2t.astype(w2t.dtype),
+        db2[0].astype(b2.dtype) if b2.ndim == 1 else db2.astype(b2.dtype),
+    )
+
+
 def _mlp_ref(x, se, be, w1t, b1, w2t, b2):
     y = (x.astype(jnp.float32) * se[:, None, :] + be[:, None, :]).astype(x.dtype)
     h = (
@@ -688,6 +1058,57 @@ def _mlp_ref(x, se, be, w1t, b1, w2t, b2):
     return (x.astype(jnp.float32) + out).astype(x.dtype)
 
 
+_mlp_bwd_p = custom_partitioning(_mlp_bwd_impl)
+
+
+def _mlp_bwd_partition(mesh, arg_shapes, result_shape):
+    b, n = (_spec_dim(arg_shapes[0].sharding, i) for i in range(2))
+    x_sh = NamedSharding(mesh, P(b, n, None))
+    vec_sh = NamedSharding(mesh, P(b, None))
+    w_sh = NamedSharding(mesh, P(None, None))
+
+    def impl(x, se, be, w1t, b1, w2t, b2, g):
+        outs = _mlp_bwd_impl(x, se, be, w1t, b1, w2t, b2, g)
+        dx, dse, dbe, dw1t, db1, dw2t, db2 = outs
+        # weight grads reduce over BOTH sharded axes; affine grads over n
+        for ax in (b, n):
+            if ax is not None:
+                dw1t = jax.lax.psum(dw1t, ax)
+                db1 = jax.lax.psum(db1, ax)
+                dw2t = jax.lax.psum(dw2t, ax)
+                db2 = jax.lax.psum(db2, ax)
+        if n is not None:
+            dse = jax.lax.psum(dse, n)
+            dbe = jax.lax.psum(dbe, n)
+        return dx, dse, dbe, dw1t, db1, dw2t, db2
+
+    return (
+        mesh,
+        impl,
+        (x_sh, vec_sh, vec_sh, w_sh, w_sh, w_sh, w_sh),
+        (x_sh, vec_sh, vec_sh, w_sh, w_sh, w_sh, w_sh, x_sh),
+    )
+
+
+def _mlp_bwd_infer(mesh, arg_shapes, result_shape):
+    b, n = (_spec_dim(arg_shapes[0].sharding, i) for i in range(2))
+    x_sh = NamedSharding(mesh, P(b, n, None))
+    vec_sh = NamedSharding(mesh, P(b, None))
+    w_sh = NamedSharding(mesh, P(None, None))
+    return (x_sh, vec_sh, vec_sh, w_sh, w_sh, w_sh, w_sh)
+
+
+_mlp_bwd_p.def_partition(
+    _mlp_bwd_partition,
+    infer_sharding_from_operands=_mlp_bwd_infer,
+    sharding_rule=(
+        "b n c, b c, b c, c w, u w, w c1, u1 c1, b n c2 "
+        "-> b n c, b c, b c, c w, u w, w c1, u1 c1"
+    ),
+    need_replication_factors=("c", "w", "u", "c1", "u1", "c2"),
+)
+
+
 @jax.custom_vjp
 def fused_mlp_residual(x, se, be, w1t, b1, w2t, b2):
     return _mlp_p(x, se, be, w1t, b1, w2t, b2)
@@ -698,8 +1119,8 @@ def _mlp_fwd(x, se, be, w1t, b1, w2t, b2):
 
 
 def _mlp_bwd(res, g):
-    _, vjp = jax.vjp(_mlp_ref, *res)
-    return vjp(g)
+    x, se, be, w1t, b1, w2t, b2 = res
+    return _mlp_bwd_p(x, se, be, w1t, b1, w2t, b2, g)
 
 
 fused_mlp_residual.defvjp(_mlp_fwd, _mlp_bwd)

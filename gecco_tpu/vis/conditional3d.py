@@ -20,8 +20,34 @@ from gecco_tpu.types import Example, batch_index
 __all__ = ["ConditionalRenderCallback", "render_cloud"]
 
 
-def render_cloud(points: np.ndarray, ax=None, elev: float = 20.0, azim: float = -60.0):
-    """Depth-colored scatter render of one cloud [N, 3]."""
+def render_cloud(
+    points: np.ndarray,
+    ax=None,
+    elev: float = 20.0,
+    azim: float = -60.0,
+    backend: str = "matplotlib",
+):
+    """Render one cloud [N, 3].
+
+    ``backend``: "matplotlib" (depth-colored scatter, always available),
+    "mitsuba" (path-traced spheres, matching the reference's fidelity —
+    requires the optional mitsuba package), or "auto" (mitsuba when
+    importable, else matplotlib). The mitsuba backend returns a uint8 image
+    array rather than a figure.
+    """
+    if backend in ("mitsuba", "auto"):
+        from gecco_tpu.vis.mitsuba_render import (
+            mitsuba_available,
+            render_cloud_mitsuba,
+        )
+
+        if mitsuba_available():
+            return render_cloud_mitsuba(np.asarray(points))
+        if backend == "mitsuba":
+            raise ImportError(
+                "mitsuba is not installed; use backend='matplotlib' or 'auto'"
+            )
+
     import matplotlib
 
     matplotlib.use("Agg")

@@ -91,6 +91,7 @@ def main():
 
     from gecco_tpu import Diffusion, GaussianReparam, LogUniformSchedule
     from gecco_tpu.benchmark import batched_pairwise_distance, cov, mmd, one_nn_accuracy
+    from gecco_tpu.metrics import chamfer_distance
     from gecco_tpu.models import SetTransformer, UnconditionalPointNetwork
     from gecco_tpu.train import make_train_step
 
@@ -123,9 +124,9 @@ def main():
 
     def evaluate(ema_model, step_no, t_start):
         samples = np.asarray(sample_fn(ema_model, jax.random.PRNGKey(step_no)))
-        ss = np.asarray(batched_pairwise_distance(samples, samples))
-        sd = np.asarray(batched_pairwise_distance(samples, heldout))
-        dd = np.asarray(batched_pairwise_distance(heldout, heldout))
+        ss = np.asarray(batched_pairwise_distance(samples, samples, chamfer_distance))
+        sd = np.asarray(batched_pairwise_distance(samples, heldout, chamfer_distance))
+        dd = np.asarray(batched_pairwise_distance(heldout, heldout, chamfer_distance))
         rec = {
             "step": step_no,
             "attn_impl": args.attn_impl,

@@ -327,3 +327,67 @@ def test_pallas_gather_bwd_spmd():
     out = grad_fn(ls, cs)
     for a, b in zip(ref, out):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_fused_mlp_pallas_backward_matches_twin():
+    """The Pallas backward of the fused MLP (weight grads accumulated
+    in-kernel) must agree with autodiff through the XLA twin."""
+    from gecco_tpu.ops.pallas.folded_attention import _mlp_ref, fused_mlp_residual
+
+    B, N, C, W = 2, 128, 64, 128
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, N, C))
+    se = jax.random.normal(jax.random.PRNGKey(1), (B, C)) * 0.1 + 1.0
+    be = jax.random.normal(jax.random.PRNGKey(2), (B, C)) * 0.1
+    w1t = jax.random.normal(jax.random.PRNGKey(3), (C, W)) / 8
+    b1 = jax.random.normal(jax.random.PRNGKey(4), (1, W)) * 0.1
+    w2t = jax.random.normal(jax.random.PRNGKey(5), (W, C)) / 11
+    b2 = jax.random.normal(jax.random.PRNGKey(6), (1, C)) * 0.1
+
+    gk = jax.grad(lambda *a: (fused_mlp_residual(*a) ** 2).sum(), argnums=tuple(range(7)))(
+        x, se, be, w1t, b1, w2t, b2
+    )
+    gr = jax.grad(lambda *a: (_mlp_ref(*a) ** 2).sum(), argnums=tuple(range(7)))(
+        x, se, be, w1t, b1, w2t, b2
+    )
+    for i, (a, b) in enumerate(zip(gk, gr)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5, err_msg=f"arg {i}"
+        )
+
+
+def test_folded_unpool_pallas_backward_matches_twin():
+    """The Pallas backward of the fused unpool (softmax backward via the
+    one-hot block maps, folded-operand cotangents chained through the fold
+    jacobians) must agree with autodiff through the XLA twin, in all
+    residual/prenorm variants."""
+    from gecco_tpu.ops.pallas.folded_attention import _unpool_ref, folded_unpool
+
+    B, N, C, H, I = 2, 128, 64, 4, 8
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, N, C))
+    se = jax.random.normal(jax.random.PRNGKey(1), (B, C)) * 0.1 + 1.0
+    be = jax.random.normal(jax.random.PRNGKey(2), (B, C)) * 0.1
+    k = jax.random.normal(jax.random.PRNGKey(3), (B, I, C)) / 3
+    v = jax.random.normal(jax.random.PRNGKey(4), (B, I, C)) / 3
+    wq = jax.random.normal(jax.random.PRNGKey(5), (C, C)) / 8
+    wo = jax.random.normal(jax.random.PRNGKey(6), (C, C)) / 8
+
+    for residual in (True, False):
+        for prenorm in (True, False):
+            def loss(fn):
+                def f(*a):
+                    out, sums = fn(*a, H, residual, prenorm)
+                    return (out**2).sum() + (sums * 0.01).sum()
+
+                return f
+
+            gk = jax.grad(loss(folded_unpool), argnums=tuple(range(7)))(
+                x, se, be, k, v, wq, wo
+            )
+            gr = jax.grad(loss(_unpool_ref), argnums=tuple(range(7)))(
+                x, se, be, k, v, wq, wo
+            )
+            for i, (a, b) in enumerate(zip(gk, gr)):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=3e-4, atol=3e-5,
+                    err_msg=f"arg {i} residual={residual} prenorm={prenorm}",
+                )

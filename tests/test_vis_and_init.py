@@ -143,3 +143,21 @@ def test_conditional_render_callback():
     writer = _RecordingWriter()
     cb(model, writer, epoch=0)
     assert ("add_figure", "conditional/renders") in writer.calls
+
+
+def test_render_cloud_backends():
+    """'auto' falls back to matplotlib when mitsuba is absent; 'mitsuba'
+    raises a clean ImportError (the optional path-traced backend,
+    ref vis/conditional3d.py:104-192)."""
+    import numpy as np
+    import pytest
+
+    from gecco_tpu.vis.conditional3d import render_cloud
+    from gecco_tpu.vis.mitsuba_render import mitsuba_available
+
+    pts = np.random.default_rng(0).normal(size=(64, 3))
+    fig = render_cloud(pts, backend="auto")
+    assert fig is not None
+    if not mitsuba_available():
+        with pytest.raises(ImportError):
+            render_cloud(pts, backend="mitsuba")
