@@ -64,6 +64,15 @@ __all__ = [
 _EPS = 1e-5
 
 
+def _twin_bwd() -> bool:
+    """Debug escape hatch: GECCO_TWIN_BWD=1 routes all fused-kernel
+    backwards through their XLA twins (jax.vjp) instead of the backward
+    Pallas kernels — for bisecting training-numerics issues."""
+    import os
+
+    return os.environ.get("GECCO_TWIN_BWD", "0") == "1"
+
+
 def _spec_dim(sharding, i):
     spec = getattr(sharding, "spec", None)
     return spec[i] if spec is not None and i < len(spec) else None
@@ -318,6 +327,298 @@ _pool_p.def_partition(
 )
 
 
+def _pool_bwd_kernel(
+    x_ref, scale_ref, bias_ref, ind_ref, kvw_ref, wo_ref, gind_ref,
+    gh_ref, gm_ref, gi_ref,
+    dx_ref, dscale_ref, dbias_ref, dqf_ref, dwv_ref, dwo_ref,
+    qf_scratch,
+    *, num_heads: int, num_inducers: int, scale_qk: float, prenorm: bool,
+):
+    """Backward of the pool layer-side: full forward recompute per batch
+    element in VMEM (everything is resident — softmax is over the point
+    axis), then the per-head pooling / softmax-over-N / value / pre-norm
+    GroupNorm backward. The folded-query cotangent (dqf) and the value/out
+    projection grads accumulate across batch elements in fp32 output
+    blocks; the caller chains dqf through the fold jacobian to the k-weight
+    and inducer grads in XLA."""
+    first = pl.program_id(0) == 0
+    x_in = x_ref[0]  # [N, C] bf16 — upcasts are localized to keep VMEM low
+    n, c = x_in.shape
+    d = c // num_heads
+    i = num_inducers
+
+    # ---- forward recompute
+    if prenorm:
+        gind = gind_ref[:]
+        per_group = c // gind.shape[1]
+        count = n * per_group
+        xf = x_in.astype(jnp.float32)
+        s1 = jnp.sum(xf, axis=0, keepdims=True)
+        s2 = jnp.sum(xf * xf, axis=0, keepdims=True)
+        g1 = jax.lax.dot_general(
+            s1, gind, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        g2 = jax.lax.dot_general(
+            s2, gind, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        mean_g = g1 / count
+        var_g = g2 / count - mean_g * mean_g
+        inv_g = jax.lax.rsqrt(jnp.maximum(var_g, 0.0) + _EPS)
+        mean_c = jax.lax.dot_general(
+            mean_g, gind, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        inv_c = jax.lax.dot_general(
+            inv_g, gind, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        scale_c = scale_ref[0]
+        w_c = inv_c * scale_c
+        y = ((xf - mean_c) * w_c + bias_ref[0]).astype(x_ref.dtype)
+        del xf
+    else:
+        y = x_in
+
+    @pl.when(first)
+    def _():
+        dqf_ref[:] = jnp.zeros_like(dqf_ref)
+        dwv_ref[:] = jnp.zeros_like(dwv_ref)
+        dwo_ref[:] = jnp.zeros_like(dwo_ref)
+
+    for h in range(num_heads):
+        wk_h = kvw_ref[h * d : (h + 1) * d, :]
+        ind_h = ind_ref[h * i : (h + 1) * i, :]
+        qf_scratch[:, h * i : (h + 1) * i] = (
+            scale_qk
+            * jax.lax.dot_general(
+                wk_h, ind_h, (((0,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        ).astype(qf_scratch.dtype)
+
+    s = jax.lax.dot_general(
+        y, qf_scratch[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [N, J]
+    m = jnp.max(s, axis=0, keepdims=True)
+    e = jnp.exp(s - m)
+    denom = jnp.sum(e, axis=0, keepdims=True)
+    # probabilities kept bf16 (the fp32 [N, J] copy would overflow VMEM at
+    # flagship shapes); the softmax-backward inner products run fp32
+    p_b = (e / denom).astype(y.dtype)
+    v = jax.lax.dot_general(
+        y, kvw_ref[c : 2 * c, :], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(y.dtype)  # [N, C]
+
+    merged_parts = []
+    for h in range(num_heads):
+        merged_parts.append(
+            jax.lax.dot_general(
+                p_b[:, h * i : (h + 1) * i], v[:, h * d : (h + 1) * d],
+                (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            )
+        )
+    merged = jnp.concatenate(merged_parts, axis=-1).astype(y.dtype)  # [I, C]
+
+    # ---- backward
+    gh = gh_ref[0].astype(jnp.float32)  # [I, C] cotangent of h0
+    gh_b = gh.astype(y.dtype)
+    # h0 = merged @ wo^T
+    dmerged = jax.lax.dot_general(
+        gh_b, wo_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [I, C]
+    dwo_ref[:] += jax.lax.dot_general(
+        gh_b, merged, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [C(out), C(in)]
+
+    dmerged_b = dmerged.astype(y.dtype)
+    dy = jnp.zeros((n, c), jnp.float32)
+    for h in range(num_heads):
+        p_h = p_b[:, h * i : (h + 1) * i].astype(jnp.float32)  # [N, I]
+        v_h = v[:, h * d : (h + 1) * d]  # [N, D]
+        dpool_h = dmerged_b[:, h * d : (h + 1) * d]  # [I, D]
+        # pooled_h = p_h^T @ v_h
+        dp_h = jax.lax.dot_general(
+            v_h, dpool_h, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [N, I]
+        dv_h = jax.lax.dot_general(
+            p_b[:, h * i : (h + 1) * i], dpool_h, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(y.dtype)  # [N, D]
+        # softmax over N backward, per column
+        t_h = jnp.sum(dp_h * p_h, axis=0, keepdims=True)  # [1, I]
+        ds_h = (p_h * (dp_h - t_h)).astype(y.dtype)  # [N, I]
+        # s = y @ qf
+        dy += jax.lax.dot_general(
+            ds_h, qf_scratch[:, h * i : (h + 1) * i], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dqf_ref[:, h * i : (h + 1) * i] += jax.lax.dot_general(
+            y, ds_h, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        # v = y @ Wv^T (rows hD:(h+1)D of the v-part select v_h's columns)
+        dy += jax.lax.dot_general(
+            dv_h, kvw_ref[c + h * d : c + (h + 1) * d, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dwv_ref[h * d : (h + 1) * d, :] += jax.lax.dot_general(
+            dv_h, y, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    if prenorm:
+        # y = (x - mean_c) * w_c + bias; mean/inv are functions of x, and the
+        # (mean, inv) outputs carry their own cotangents (gm, gi)
+        xf = x_in.astype(jnp.float32)
+        xc = xf - mean_c
+        dscale_ref[0] = jnp.sum(dy * xc * inv_c, axis=0, keepdims=True)
+        dbias_ref[0] = jnp.sum(dy, axis=0, keepdims=True)
+        dinv_c = jnp.sum(dy * xc * scale_c, axis=0, keepdims=True) + gi_ref[0]
+        dmean_c = -jnp.sum(dy * w_c, axis=0, keepdims=True) + gm_ref[0]
+        dinv_g = jax.lax.dot_general(
+            dinv_c, gind, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dmean_g = jax.lax.dot_general(
+            dmean_c, gind, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dvar_g = -0.5 * inv_g * inv_g * inv_g * dinv_g
+        dmean_g = dmean_g - 2.0 * mean_g * dvar_g
+        dvarb_c = jax.lax.dot_general(
+            dvar_g / count, gind, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dmeanb_c = jax.lax.dot_general(
+            dmean_g / count, gind, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dx = dy * w_c + 2.0 * xf * dvarb_c + dmeanb_c
+    else:
+        dscale_ref[0] = jnp.zeros_like(dscale_ref[0])
+        dbias_ref[0] = jnp.zeros_like(dbias_ref[0])
+        dx = dy
+    dx_ref[0] = dx.astype(dx_ref.dtype)
+
+
+def _pool_bwd_impl(x, scale, bias, ind2, kvw, wo, gind, g_h0, g_mean, g_inv, num_heads, prenorm):
+    b, n, c = x.shape
+    j, d = ind2.shape
+    i = j // num_heads
+    outs = pl.pallas_call(
+        functools.partial(
+            _pool_bwd_kernel,
+            num_heads=num_heads,
+            num_inducers=i,
+            scale_qk=1.0 / (d ** 0.5),
+            prenorm=prenorm,
+        ),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, n, c), lambda bi: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda bi: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda bi: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((j, d), lambda bi: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * c, c), lambda bi: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, c), lambda bi: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(gind.shape, lambda bi: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, i, c), lambda bi: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda bi: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda bi: (bi, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, n, c), lambda bi: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda bi: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda bi: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, j), lambda bi: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, c), lambda bi: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, c), lambda bi: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n, c), x.dtype),
+            jax.ShapeDtypeStruct((b, 1, c), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, c), jnp.float32),
+            jax.ShapeDtypeStruct((c, j), jnp.float32),
+            jax.ShapeDtypeStruct((c, c), jnp.float32),
+            jax.ShapeDtypeStruct((c, c), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((c, j), x.dtype)],
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
+        interpret=_interpret(),
+    )(
+        x, scale[:, None, :], bias[:, None, :], ind2, kvw, wo, gind,
+        g_h0, g_mean[:, None, :], g_inv[:, None, :],
+    )
+    dx, dscale, dbias, dqf, dwv, dwo = outs
+    tie = 0.0 * (dscale[0, 0, 0] + dbias[0, 0, 0] + dqf[0, 0] + dwv[0, 0] + dwo[0, 0])
+    dx = dx + tie.astype(dx.dtype)
+
+    # chain dqf through the fold jacobian (tiny):
+    # qf[c, hI+i] = scale_qk * sum_d kvw[hD+d, c] * ind2[hI+i, d]
+    scale_qk = 1.0 / (d ** 0.5)
+    dqf_r = dqf.reshape(c, num_heads, i)
+    ind_r = ind2.reshape(num_heads, i, d).astype(jnp.float32)
+    kvw_k = kvw[:c].reshape(num_heads, d, c).astype(jnp.float32)
+    dwk = scale_qk * jnp.einsum("chi,hid->hdc", dqf_r, ind_r).reshape(c, c)
+    dind2 = scale_qk * jnp.einsum("chi,hdc->hid", dqf_r, kvw_k).reshape(j, d)
+    dkvw = jnp.concatenate([dwk, dwv], axis=0).astype(kvw.dtype)
+    return (
+        dx,
+        dscale[:, 0],
+        dbias[:, 0],
+        dind2.astype(ind2.dtype),
+        dkvw,
+        dwo.astype(wo.dtype),
+    )
+
+
+_pool_bwd_p = custom_partitioning(_pool_bwd_impl, static_argnums=(10, 11))
+
+
+def _pool_bwd_partition(num_heads, prenorm, mesh, arg_shapes, result_shape):
+    b = _spec_dim(arg_shapes[0].sharding, 0)
+    x_sh = NamedSharding(mesh, P(b, None, None))
+    vec_sh = NamedSharding(mesh, P(b, None))
+    w_sh = NamedSharding(mesh, P(None, None))
+
+    def impl(x, scale, bias, ind2, kvw, wo, gind, g_h0, g_mean, g_inv):
+        outs = _pool_bwd_impl(
+            x, scale, bias, ind2, kvw, wo, gind, g_h0, g_mean, g_inv,
+            num_heads, prenorm,
+        )
+        dx, dscale, dbias, dind2, dkvw, dwo = outs
+        if b is not None:
+            dind2 = jax.lax.psum(dind2, b)
+            dkvw = jax.lax.psum(dkvw, b)
+            dwo = jax.lax.psum(dwo, b)
+        return dx, dscale, dbias, dind2, dkvw, dwo
+
+    return (
+        mesh,
+        impl,
+        (x_sh, vec_sh, vec_sh, w_sh, w_sh, w_sh),
+        (x_sh, vec_sh, vec_sh, w_sh, w_sh, w_sh, w_sh, x_sh, vec_sh, vec_sh),
+    )
+
+
+def _pool_bwd_infer(num_heads, prenorm, mesh, arg_shapes, result_shape):
+    b = _spec_dim(arg_shapes[0].sharding, 0)
+    x_sh = NamedSharding(mesh, P(b, None, None))
+    vec_sh = NamedSharding(mesh, P(b, None))
+    w_sh = NamedSharding(mesh, P(None, None))
+    return (x_sh, vec_sh, vec_sh, w_sh, w_sh, w_sh)
+
+
+_pool_bwd_p.def_partition(
+    _pool_bwd_partition,
+    infer_sharding_from_operands=_pool_bwd_infer,
+    sharding_rule=(
+        "b n c, b c, b c, j d, e c1, c2 c3, c4 g, b i c5, b c6, b c7 "
+        "-> b n c, b c, b c, j d, e c1, c2 c3"
+    ),
+    need_replication_factors=(
+        "n", "c", "j", "d", "e", "c1", "c2", "c3", "c4", "g", "i", "c5",
+        "c6", "c7",
+    ),
+)
+
+
 def _pool_ref(x, scale, bias, ind2, kvw, wo, num_groups, num_heads, prenorm=True):
     """XLA twin of ``_pool_impl`` — the backward recomputes through this."""
     b, n, c = x.shape
@@ -373,15 +674,34 @@ def _pool_fwd(x, scale, bias, ind2, kvw, wo, gind, num_heads, prenorm):
     return out, (x, scale, bias, ind2, kvw, wo, gind)
 
 
+def pool_bwd_vmem_ok(n: int, c: int, j: int) -> bool:
+    """The pool backward holds the full logits/probabilities PLUS the dy
+    accumulator and fp32 upcasts per batch element; Mosaic's stack
+    allocator measured ~1.5x the naive liveness tally (27.7 MB at flagship
+    2048x384xJ512 vs 16 MB available) — gate to the XLA twin above this."""
+    naive = n * j * 10 + n * c * 14 + (c * j + 2 * c * c) * 4
+    return naive * 3 // 2 <= 15 * 1024 * 1024
+
+
 def _pool_bwd(num_heads, prenorm, res, g):
     x, scale, bias, ind2, kvw, wo, gind = res
-    _, vjp = jax.vjp(
-        lambda xx, sc, bi, iq, kw, ow: _pool_ref(
-            xx, sc, bi, iq, kw, ow, gind.shape[1], num_heads, prenorm
-        ),
-        x, scale, bias, ind2, kvw, wo,
+    n, c = x.shape[1], x.shape[2]
+    j = ind2.shape[0]
+    if _twin_bwd() or not pool_bwd_vmem_ok(n, c, j):
+        _, vjp = jax.vjp(
+            lambda xx, sc, bi, iq, kw, ow: _pool_ref(
+                xx, sc, bi, iq, kw, ow, gind.shape[1], num_heads, prenorm
+            ),
+            x, scale, bias, ind2, kvw, wo,
+        )
+        return (*vjp(g), jnp.zeros_like(gind))
+    g_h0, g_mean, g_inv = g
+    dx, dscale, dbias, dind2, dkvw, dwo = _pool_bwd_p(
+        x, scale, bias, ind2, kvw, wo, gind,
+        g_h0.astype(x.dtype), g_mean.astype(jnp.float32),
+        g_inv.astype(jnp.float32),
+        num_heads, prenorm,
     )
-    dx, dscale, dbias, dind2, dkvw, dwo = vjp(g)
     return dx, dscale, dbias, dind2, dkvw, dwo, jnp.zeros_like(gind)
 
 
@@ -843,6 +1163,12 @@ def _unpool_fwd(x, se, be, k, v, wq, wo, num_heads, residual, prenorm):
 
 def _unpool_bwd(num_heads, residual, prenorm, res, g):
     x, se, be, k, v, wq, wo = res
+    if _twin_bwd():
+        _, vjp = jax.vjp(
+            lambda *a: _unpool_ref(*a, num_heads, residual, prenorm),
+            x, se, be, k, v, wq, wo,
+        )
+        return vjp(g)
     g_out, g_sums = g
     return _unpool_bwd_p(
         x, se, be, k, v, wq, wo,
@@ -1120,6 +1446,9 @@ def _mlp_fwd(x, se, be, w1t, b1, w2t, b2):
 
 def _mlp_bwd(res, g):
     x, se, be, w1t, b1, w2t, b2 = res
+    if _twin_bwd():
+        _, vjp = jax.vjp(_mlp_ref, x, se, be, w1t, b1, w2t, b2)
+        return vjp(g)
     return _mlp_bwd_p(x, se, be, w1t, b1, w2t, b2, g)
 
 

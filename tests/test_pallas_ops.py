@@ -391,3 +391,92 @@ def test_folded_unpool_pallas_backward_matches_twin():
                     np.asarray(a), np.asarray(b), rtol=3e-4, atol=3e-5,
                     err_msg=f"arg {i} residual={residual} prenorm={prenorm}",
                 )
+
+
+def test_ref_jax_compat_fused_matches_plain():
+    """ref_jax_compat (second MLP on the un-normed stream) through the fused
+    kernel path must match the plain XLA path — the fused MLP runs with an
+    identity pre-norm in compat mode."""
+    from gecco_tpu.models.set_transformer import SetTransformer
+
+    for compat in (False, True):
+        st_x = SetTransformer.init(
+            jax.random.PRNGKey(0), n_layers=2, feature_dim=64, num_inducers=8,
+            embed_dim=32, num_heads=4, compute_dtype=jnp.float32,
+            attn_impl="xla", ref_jax_compat=compat,
+        )
+        st_p = st_x.replace(attn_impl="folded_pallas")
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 64))
+        embed = jax.random.normal(jax.random.PRNGKey(2), (2, 32))
+        np.testing.assert_allclose(
+            np.asarray(st_x(x, embed)), np.asarray(st_p(x, embed)),
+            rtol=1e-4, atol=1e-5, err_msg=f"compat={compat}",
+        )
+
+
+def test_fused_cached_upsampling_path_matches_plain():
+    """The h-cached (upsampling) route through the fused kernels: pool is
+    skipped, the unpool pre-norm uses an XLA stats pass — must match the
+    plain path given the same cached inducer states."""
+    from gecco_tpu.models.set_transformer import SetTransformer
+
+    st_x = SetTransformer.init(
+        jax.random.PRNGKey(0), n_layers=2, feature_dim=64, num_inducers=8,
+        embed_dim=32, num_heads=4, compute_dtype=jnp.float32, attn_impl="xla",
+    )
+    st_p = st_x.replace(attn_impl="folded_pallas")
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 64))
+    embed = jax.random.normal(jax.random.PRNGKey(2), (2, 32))
+
+    _, hs_x = st_x(x, embed, return_h=True)
+    _, hs_p = st_p(x, embed, return_h=True)
+    np.testing.assert_allclose(np.asarray(hs_x), np.asarray(hs_p), rtol=1e-4, atol=1e-5)
+
+    x2 = jax.random.normal(jax.random.PRNGKey(3), (2, 128, 64))
+    np.testing.assert_allclose(
+        np.asarray(st_x(x2, embed, hs=hs_x)),
+        np.asarray(st_p(x2, embed, hs=hs_x)),
+        rtol=1e-4, atol=1e-5,
+    )
+
+
+def test_folded_pool_pallas_backward_matches_twin():
+    """The Pallas backward of the pool layer-side (hand-derived set-level
+    GroupNorm backward, softmax-over-points backward, folded-query cotangent
+    chained through the fold jacobian) must agree with autodiff through the
+    XLA twin, with and without the fused pre-norm."""
+    from gecco_tpu.ops.pallas.folded_attention import (
+        _pool_ref,
+        folded_pool_layer,
+        group_indicator,
+    )
+
+    B, N, C, H, I = 2, 128, 64, 4, 8
+    J, D = H * I, C // H
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, N, C))
+    scale = jax.random.normal(jax.random.PRNGKey(1), (B, C)) * 0.1 + 1.0
+    bias = jax.random.normal(jax.random.PRNGKey(2), (B, C)) * 0.1
+    ind2 = jax.random.normal(jax.random.PRNGKey(3), (J, D)) / 2
+    kvw = jax.random.normal(jax.random.PRNGKey(4), (2 * C, C)) / 8
+    wo = jax.random.normal(jax.random.PRNGKey(5), (C, C)) / 8
+    gind = group_indicator(C, 8)
+
+    for prenorm in (True, False):
+        def loss(fn, *extra):
+            def f(*a):
+                h0, mean, inv = fn(*a, *extra)
+                return (h0**2).sum() + (mean * 0.05).sum() + (inv * 0.02).sum()
+
+            return f
+
+        gk = jax.grad(loss(folded_pool_layer, gind, H, prenorm), argnums=tuple(range(6)))(
+            x, scale, bias, ind2, kvw, wo
+        )
+        gr = jax.grad(loss(_pool_ref, gind.shape[1], H, prenorm), argnums=tuple(range(6)))(
+            x, scale, bias, ind2, kvw, wo
+        )
+        for i, (a, b) in enumerate(zip(gk, gr)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5,
+                err_msg=f"arg {i} prenorm={prenorm}",
+            )
