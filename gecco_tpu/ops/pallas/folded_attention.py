@@ -64,13 +64,18 @@ __all__ = [
 _EPS = 1e-5
 
 
-def _twin_bwd() -> bool:
-    """Debug escape hatch: GECCO_TWIN_BWD=1 routes all fused-kernel
-    backwards through their XLA twins (jax.vjp) instead of the backward
-    Pallas kernels — for bisecting training-numerics issues."""
+def _twin_bwd(which: str = "") -> bool:
+    """Debug escape hatch: GECCO_TWIN_BWD routes fused-kernel backwards
+    through their XLA twins (jax.vjp) instead of the backward Pallas
+    kernels — for bisecting training-numerics issues. "1"/"all" switches
+    every kernel; a comma-separated subset of {pool,unpool,mlp} switches
+    just those."""
     import os
 
-    return os.environ.get("GECCO_TWIN_BWD", "0") == "1"
+    val = os.environ.get("GECCO_TWIN_BWD", "")
+    if val in ("1", "all"):
+        return True
+    return which in val.split(",")
 
 
 def _spec_dim(sharding, i):
@@ -103,22 +108,30 @@ def block_map(j: int, num_blocks: int) -> jnp.ndarray:
 def _blockwise_softmax_lastaxis(s, block, bmap=None):
     """Softmax over static ``block``-wide column blocks of a 2D fp32 array.
 
-    With ``bmap`` ([J, num_blocks] indicator): per-block maxima come from
-    narrow [TN, 1] column reductions (a num_blocks-lane concat — one vreg),
-    and the expand-to-J / per-block-sum steps are tiny one-hot matmuls on
-    the MXU; no wide lane concats. Without it: the slicing fallback.
+    With ``bmap`` ([J, num_blocks] indicator), the kernel-path formulation
+    avoids EVERY lane-slicing construct: per-block maxima are full-width
+    ``jnp.where``-masked row reductions, the per-block sums and their
+    expansion back to J columns are one-hot matmuls on the MXU, and the exp
+    argument is clamped at -80 (mathematically inert for a softmax: the
+    clamped tail is < 2e-35 of the block mass). Hard-won on the axon
+    Mosaic toolchain, which (a) miscompiles 64-wide lane-slice max
+    reductions in large kernel bodies — masked lanes leak garbage for
+    specific layouts, observed as NaN rows after ~5k flagship training
+    steps — and (b) produces NaN from VPU exp on huge-negative arguments
+    (~ -7e4) in the same context. Slicing fallback without ``bmap``
+    (interpret mode / odd shapes).
     """
     nb = s.shape[-1] // block
     if bmap is not None:
-        ms = [
-            jnp.max(s[:, j * block : (j + 1) * block], axis=-1, keepdims=True)
-            for j in range(nb)
-        ]
-        mcat = jnp.concatenate(ms, axis=-1)  # [TN, nb]
-        mexp = jax.lax.dot_general(
-            mcat, bmap, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # [TN, J]
-        e = jnp.exp(s - mexp)
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) // block
+        mexp = jnp.full_like(s, -3.0e38)
+        for q in range(nb):
+            mask_q = col == q
+            mq = jnp.max(
+                jnp.where(mask_q, s, -3.0e38), axis=-1, keepdims=True
+            )  # [TN, 1] full-width reduction — no lane slicing
+            mexp = jnp.where(mask_q, mq, mexp)
+        e = jnp.exp(jnp.maximum(s - mexp, -80.0))
         sums = jax.lax.dot_general(
             e, bmap, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )  # [TN, nb]
@@ -687,7 +700,7 @@ def _pool_bwd(num_heads, prenorm, res, g):
     x, scale, bias, ind2, kvw, wo, gind = res
     n, c = x.shape[1], x.shape[2]
     j = ind2.shape[0]
-    if _twin_bwd() or not pool_bwd_vmem_ok(n, c, j):
+    if _twin_bwd("pool") or not pool_bwd_vmem_ok(n, c, j):
         _, vjp = jax.vjp(
             lambda xx, sc, bi, iq, kw, ow: _pool_ref(
                 xx, sc, bi, iq, kw, ow, gind.shape[1], num_heads, prenorm
@@ -1163,7 +1176,7 @@ def _unpool_fwd(x, se, be, k, v, wq, wo, num_heads, residual, prenorm):
 
 def _unpool_bwd(num_heads, residual, prenorm, res, g):
     x, se, be, k, v, wq, wo = res
-    if _twin_bwd():
+    if _twin_bwd("unpool"):
         _, vjp = jax.vjp(
             lambda *a: _unpool_ref(*a, num_heads, residual, prenorm),
             x, se, be, k, v, wq, wo,
@@ -1446,7 +1459,7 @@ def _mlp_fwd(x, se, be, w1t, b1, w2t, b2):
 
 def _mlp_bwd(res, g):
     x, se, be, w1t, b1, w2t, b2 = res
-    if _twin_bwd():
+    if _twin_bwd("mlp"):
         _, vjp = jax.vjp(_mlp_ref, x, se, be, w1t, b1, w2t, b2)
         return vjp(g)
     return _mlp_bwd_p(x, se, be, w1t, b1, w2t, b2, g)

@@ -33,11 +33,13 @@ import numpy as np
 import optax
 
 
-def make_clouds(rng: np.random.Generator, n: int, n_points: int) -> np.ndarray:
+def make_clouds(
+    rng: np.random.Generator, n: int, n_points: int, n_families: int = 4
+) -> np.ndarray:
     """Sample n procedural clouds [n, n_points, 3], zero-mean, ~0.35 std."""
     out = np.empty((n, n_points, 3), np.float32)
     for idx in range(n):
-        family = rng.integers(4)
+        family = rng.integers(n_families)
         u = rng.uniform(0, 2 * np.pi, n_points)
         v = rng.uniform(-1, 1, n_points)
         if family == 0:  # ellipsoid shell
@@ -87,6 +89,11 @@ def main():
     ap.add_argument("--eval-clouds", type=int, default=64)
     ap.add_argument("--sampler-steps", type=int, default=64)
     ap.add_argument("--out", default="/tmp/flagship_validation.jsonl")
+    ap.add_argument(
+        "--families", type=int, default=4,
+        help="number of shape families in the mixture (1 = ellipsoids only, "
+        "an easier target where 1-NN ~ 0.5 is reachable in a few k steps)",
+    )
     args = ap.parse_args()
 
     from gecco_tpu import Diffusion, GaussianReparam, LogUniformSchedule
@@ -116,7 +123,9 @@ def main():
     opt_state = opt.init(model)
 
     rng = np.random.default_rng(0)
-    heldout = make_clouds(np.random.default_rng(12345), args.eval_clouds, args.n_points)
+    heldout = make_clouds(
+        np.random.default_rng(12345), args.eval_clouds, args.n_points, args.families
+    )
 
     sample_fn = jax.jit(
         lambda m, k: m.sample(k, (args.eval_clouds, args.n_points, 3))
@@ -142,7 +151,7 @@ def main():
     t0 = time.time()
     losses = []
     for i in range(args.steps):
-        pts = jnp.asarray(make_clouds(rng, args.batch, args.n_points))
+        pts = jnp.asarray(make_clouds(rng, args.batch, args.n_points, args.families))
         loss, model, ema, opt_state = step(
             model, ema, opt_state, pts, None, jax.random.fold_in(key, i)
         )
