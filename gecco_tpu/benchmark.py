@@ -61,6 +61,11 @@ def one_nn_accuracy(ss_dist: np.ndarray, sd_dist: np.ndarray, dd_dist: np.ndarra
     n = ss_dist.shape[0]
     np.fill_diagonal(dist_m, float("inf"))
     amin = dist_m.argmin(axis=0)
+    # NOTE: `<= n` reproduces the reference's off-by-one (benchmark.py:147):
+    # index n is the first *data* row, so a sample whose nearest neighbour is
+    # data cloud 0 counts as a same-set hit. Kept deliberately for
+    # bug-compatible score parity; at the 64-1024 sample counts used here the
+    # bias is ~1/(2n) — well under a point of 1-NN accuracy — and benign.
     one_nn_1 = amin[:n] <= n
     one_nn_2 = amin[n:] > n
     return float(np.concatenate([one_nn_1, one_nn_2]).mean())

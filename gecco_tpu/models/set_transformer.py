@@ -359,6 +359,9 @@ class BroadcastingLayer:
             len(self.mlp.layers) == 2
             and isinstance(self.mlp.activation, GaussianActivation)
             and (mkey is None or self.mlp.dropout_p == 0.0)
+            # the fused kernel folds alpha into both biases — bias-free
+            # Linears degrade to the unfused path instead of crashing
+            and all(l.bias is not None for l in self.mlp.layers)
         )
         if not mlp_fusable:
             y2 = x if mlp_on_unnormed else self.mlp_norm(x, embed)

@@ -220,7 +220,9 @@ def _pool_kernel(
         preferred_element_type=jnp.float32,
     )  # [N, J]; softmax over the POINT axis per (head, inducer) column
     m = jnp.max(s, axis=0, keepdims=True)
-    p = jnp.exp(s - m)
+    # exp-arg clamp at -80: inert for the softmax (tail < 2e-35 of the mass)
+    # but guards the axon VPU exp NaN pathology on huge-negative arguments
+    p = jnp.exp(jnp.maximum(s - m, -80.0))
     p = (p / jnp.sum(p, axis=0, keepdims=True)).astype(y.dtype)
 
     # fused value projection: v = y @ Wv^T (Wv = rows C..2C of the kv weight)
@@ -412,7 +414,7 @@ def _pool_bwd_kernel(
         preferred_element_type=jnp.float32,
     )  # [N, J]
     m = jnp.max(s, axis=0, keepdims=True)
-    e = jnp.exp(s - m)
+    e = jnp.exp(jnp.maximum(s - m, -80.0))  # clamp: VPU exp NaN guard
     denom = jnp.sum(e, axis=0, keepdims=True)
     # probabilities kept bf16 (the fp32 [N, J] copy would overflow VMEM at
     # flagship shapes); the softmax-backward inner products run fp32
@@ -709,6 +711,12 @@ def _pool_bwd(num_heads, prenorm, res, g):
         )
         return (*vjp(g), jnp.zeros_like(gind))
     g_h0, g_mean, g_inv = g
+    # the incoming h0 cotangent is truncated to the activation dtype (bf16)
+    # on purpose: the backward kernels' [N, C]-sized operands stream at half
+    # the HBM cost, and every inner product still accumulates fp32 (the
+    # kernels upcast). This is the same precision the activations themselves
+    # carry; quality was certified against the fp32-cotangent XLA-twin arm
+    # over a 30k-step flagship run (BASELINE.md round-2 notes).
     dx, dscale, dbias, dind2, dkvw, dwo = _pool_bwd_p(
         x, scale, bias, ind2, kvw, wo, gind,
         g_h0.astype(x.dtype), g_mean.astype(jnp.float32),
@@ -1183,6 +1191,7 @@ def _unpool_bwd(num_heads, residual, prenorm, res, g):
         )
         return vjp(g)
     g_out, g_sums = g
+    # bf16 cotangent truncation is intentional — see the note in _pool_bwd
     return _unpool_bwd_p(
         x, se, be, k, v, wq, wo,
         g_out.astype(x.dtype), g_sums.astype(jnp.float32),
