@@ -15,12 +15,22 @@ the optimized model. ``vs_baseline`` is optimized throughput over that
 reference-structure throughput: an implementation comparison, not a strawman.
 
 Timing notes (axon v5e relay): ``block_until_ready()`` does not block, so all
-timings force a scalar host fetch; per-call dispatch overhead is ~30 ms, so
-per-eval latency is amortized over an in-program scan chain.
+timings force a scalar host fetch; per-call dispatch overhead is ~30 ms.
+TWO denoiser-eval latencies are reported (they differ and both are real):
+- ``denoiser_eval_ms_in_sampler`` — sample wall time / 255 network evals of
+  the 128-step Heun grid. Dispatch-free (one jit call runs the whole grid);
+  matches xprof device-time totals within ~0.1 ms. The honest device number.
+- ``p50_denoiser_eval_ms_chain8`` — p50 over an 8-eval scan chain, so each
+  eval still carries ~1/8 of the ~30 ms relay dispatch (~3-4 ms). The honest
+  end-to-end number for latency-sensitive callers issuing short chains.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Default run prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}
+for the flagship config (the driver contract). ``--config conditional`` /
+``--config scaled8k`` benchmark the ConvNeXt-conditional and the 12x768/8k
+configs instead (one JSON line each; BASELINE.md table rows).
 """
 
+import argparse
 import json
 import time
 
@@ -33,6 +43,7 @@ from gecco_tpu.models import SetTransformer, UnconditionalPointNetwork
 BATCH = 64
 N_POINTS = 2048
 N_STEPS = 128
+HEUN_EVALS = 2 * N_STEPS - 1  # every transition 2nd-order (diffrax StepTo)
 
 
 def build_model(compute_dtype, attn_impl="xla"):
@@ -55,6 +66,43 @@ def build_model(compute_dtype, attn_impl="xla"):
     )
 
 
+def build_scaled8k_model():
+    """configs/shapenet_scaled_8k.py dimensions: 12 layers, 768 wide, 16
+    heads, 8192 points."""
+    key = jax.random.PRNGKey(0)
+    bk, nk = jax.random.split(key)
+    backbone = SetTransformer.init(
+        bk, n_layers=12, feature_dim=768, num_inducers=64, embed_dim=1,
+        num_heads=16, compute_dtype=jnp.bfloat16, attn_impl="folded_pallas",
+    )
+    net = UnconditionalPointNetwork.init(nk, backbone, feature_dim=768)
+    sched = LogUniformSchedule(sigma_max=165.0, sigma_min=0.002, n_solver_steps=N_STEPS)
+    return Diffusion.init(
+        net, sched, reparam=GaussianReparam.init([0.0] * 3, [0.35] * 3)
+    )
+
+
+def build_conditional_model():
+    """configs/shapenet_vol_conditional.py dimensions: RayNetwork +
+    ConvNeXt-tiny local pyramid, UVL reparam, fused projective gather."""
+    from gecco_tpu import UVLReparam
+    from gecco_tpu.models import ConvNeXtExtractor, RayNetwork
+
+    keys = jax.random.split(jax.random.PRNGKey(0), 3)
+    reparam = UVLReparam.init()
+    backbone = SetTransformer.init(
+        keys[0], n_layers=6, feature_dim=384, num_inducers=64, embed_dim=1,
+        num_heads=8, compute_dtype=jnp.bfloat16, attn_impl="folded_pallas",
+    )
+    network = RayNetwork.init(
+        keys[1], backbone, reparam, feature_dim=384,
+        input_ctx_dim=96 + 192 + 384, lookup_impl="pallas",
+    )
+    cond = ConvNeXtExtractor.init(keys[2], size="tiny", mode="local")
+    sched = LogUniformSchedule(sigma_max=180.0, sigma_min=0.002, n_solver_steps=N_STEPS)
+    return Diffusion.init(network, sched, reparam=reparam, cond=cond)
+
+
 def _time_calls(fn, reps, *args):
     """min-of-reps wall time of ``float(fn(*args))`` after one warmup call.
 
@@ -69,10 +117,12 @@ def _time_calls(fn, reps, *args):
     return min(times)
 
 
-def time_sampler(model, reps):
-    sample_fn = jax.jit(lambda m, k: m.sample(k, (BATCH, N_POINTS, 3)).sum())
-    best = _time_calls(sample_fn, reps, model, jax.random.PRNGKey(1))
-    return BATCH / best  # clouds per second
+def time_sampler(model, reps, batch=BATCH, n_points=N_POINTS, raw_ctx=None):
+    sample_fn = jax.jit(
+        lambda m, k, c: m.sample(k, (batch, n_points, 3), raw_ctx=c).sum()
+    )
+    best = _time_calls(sample_fn, reps, model, jax.random.PRNGKey(1), raw_ctx)
+    return batch / best  # clouds per second
 
 
 def time_ref_sampler(model, reps):
@@ -86,33 +136,33 @@ def time_ref_sampler(model, reps):
     return BATCH / best
 
 
-def time_denoise_step(model, reps=10, k_evals=8):
-    """p50 per-eval latency, amortized over an in-program chain of k_evals
-    dependent denoiser calls (otherwise the ~30 ms relay dispatch overhead
-    doubles the number)."""
-    x = jax.random.normal(jax.random.PRNGKey(2), (BATCH, N_POINTS, 3))
-    sigma = jnp.full((BATCH,), 1.0)
+def time_denoise_chain(model, reps=10, k_evals=8, batch=BATCH, n_points=N_POINTS, ctx=None):
+    """p50 per-eval latency over an in-program chain of k_evals dependent
+    denoiser calls. Includes ~1/k_evals of the ~30 ms relay dispatch — see
+    the module docstring for how this relates to the in-sampler number."""
+    x = jax.random.normal(jax.random.PRNGKey(2), (batch, n_points, 3))
+    sigma = jnp.full((batch,), 1.0)
 
-    def chained(m, x0):
+    def chained(m, x0, c):
         def body(x, _):
-            y = m.denoise(sigma, x)
+            y = m.denoise(sigma, x, c)
             return y.astype(x.dtype), None
 
         y, _ = jax.lax.scan(body, x0, None, length=k_evals)
         return y.sum()
 
     fn = jax.jit(chained)
-    float(fn(model, x))  # compile
+    float(fn(model, x, ctx))  # compile
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        float(fn(model, x))
+        float(fn(model, x, ctx))
         times.append(time.perf_counter() - t0)
     times.sort()
     return times[len(times) // 2] / k_evals  # p50, per eval
 
 
-def time_train_step(reps=5):
+def time_train_step(model_fn=None, batch=48, n_points=N_POINTS, reps=5, raw_ctx=None):
     """Full train step (loss->grad->adabelief->EMA) at the reference's
     batch 48, with remat + pallas attention (the training configs' setup)."""
     import optax
@@ -120,37 +170,49 @@ def time_train_step(reps=5):
     from gecco_tpu.train import make_train_step
 
     key = jax.random.PRNGKey(0)
-    bk, nk = jax.random.split(key)
-    backbone = SetTransformer.init(
-        bk, n_layers=6, feature_dim=384, num_inducers=64, embed_dim=1,
-        num_heads=8, compute_dtype=jnp.bfloat16, attn_impl="folded_pallas", remat=True,
-    )
-    net = UnconditionalPointNetwork.init(nk, backbone, feature_dim=384)
-    sched = LogUniformSchedule(sigma_max=165.0, sigma_min=0.002, n_solver_steps=N_STEPS)
-    model = Diffusion.init(net, sched, reparam=GaussianReparam.init([0.0] * 3, [0.35] * 3))
+    if model_fn is None:
+        bk, nk = jax.random.split(key)
+        backbone = SetTransformer.init(
+            bk, n_layers=6, feature_dim=384, num_inducers=64, embed_dim=1,
+            num_heads=8, compute_dtype=jnp.bfloat16, attn_impl="folded_pallas",
+            remat=False,  # fits HBM with the fused-kernel residuals (round 3)
+        )
+        net = UnconditionalPointNetwork.init(nk, backbone, feature_dim=384)
+        sched = LogUniformSchedule(
+            sigma_max=165.0, sigma_min=0.002, n_solver_steps=N_STEPS
+        )
+        model = Diffusion.init(
+            net, sched, reparam=GaussianReparam.init([0.0] * 3, [0.35] * 3)
+        )
+    else:
+        model = model_fn()
     opt = optax.chain(optax.clip_by_global_norm(1.0), optax.adabelief(3e-4))
-    step = make_train_step(opt)
+    donate = raw_ctx is None  # conv-containing models: axon donation limitation
+    step = make_train_step(opt, donate=donate)
     ema = jax.tree.map(jnp.copy, model)
     opt_state = opt.init(model)
-    pts = 0.35 * jax.random.normal(jax.random.PRNGKey(1), (48, N_POINTS, 3))
+    pts = 0.35 * jax.random.normal(jax.random.PRNGKey(1), (batch, n_points, 3))
 
-    loss, model, ema, opt_state = step(model, ema, opt_state, pts, None, key)
+    loss, model, ema, opt_state = step(model, ema, opt_state, pts, raw_ctx, key)
     float(loss)
     times = []
     for i in range(reps):
         t0 = time.perf_counter()
         loss, model, ema, opt_state = step(
-            model, ema, opt_state, pts, None, jax.random.fold_in(key, i)
+            model, ema, opt_state, pts, raw_ctx, jax.random.fold_in(key, i)
         )
         float(loss)
         times.append(time.perf_counter() - t0)
     return min(times)
 
 
-def main():
+def bench_flagship():
     optimized = build_model(jnp.bfloat16, attn_impl="folded_pallas")
-    clouds_per_sec = time_sampler(optimized, reps=3)
-    p50_step = time_denoise_step(optimized)
+    sample_fn = jax.jit(lambda m, k: m.sample(k, (BATCH, N_POINTS, 3)).sum())
+    best_sample = _time_calls(sample_fn, 3, optimized, jax.random.PRNGKey(1))
+    clouds_per_sec = BATCH / best_sample
+    eval_in_sampler = best_sample / HEUN_EVALS
+    p50_chain = time_denoise_chain(optimized)
 
     # reference-structure arm: same weights, fp32, unfused, per-example vmap
     baseline_clouds_per_sec = time_ref_sampler(optimized, reps=2)
@@ -160,13 +222,19 @@ def main():
     except Exception:
         train_step_s = None
 
-    result = {
+    return {
         "metric": "sampled clouds/sec/chip (2048 pts, 128-step Heun ODE, batch 64)",
         "value": round(clouds_per_sec, 3),
         "unit": "clouds/s",
         "vs_baseline": round(clouds_per_sec / baseline_clouds_per_sec, 3),
         "extra": {
-            "p50_denoiser_step_ms": round(p50_step * 1e3, 3),
+            "denoiser_eval_ms_in_sampler": round(eval_in_sampler * 1e3, 3),
+            "p50_denoiser_eval_ms_chain8": round(p50_chain * 1e3, 3),
+            "latency_note": (
+                "in_sampler = sample time / 255 Heun evals, dispatch-free "
+                "(matches xprof device time); chain8 additionally carries "
+                "~1/8 of the ~30 ms axon relay dispatch per eval"
+            ),
             "baseline": (
                 "reference-structure impl (gecco_tpu/baselines/reference_jax.py): "
                 "same weights, fp32, per-example vmap, per-head vmap attention, "
@@ -182,6 +250,90 @@ def main():
             "device": str(jax.devices()[0]),
         },
     }
+
+
+def bench_scaled8k():
+    model = build_scaled8k_model()
+    batch, n_points = 16, 8192
+    sample_fn = jax.jit(lambda m, k: m.sample(k, (batch, n_points, 3)).sum())
+    best_sample = _time_calls(sample_fn, 2, model, jax.random.PRNGKey(1))
+
+    def model_fn():
+        m = build_scaled8k_model()
+        return m.replace(
+            network=m.network.replace(
+                backbone=m.network.backbone.replace(remat=True)
+            )
+        )
+
+    try:
+        train_step_s = time_train_step(model_fn, batch=16, n_points=n_points)
+    except Exception:
+        train_step_s = None
+    return {
+        "metric": "scaled-8k clouds/sec/chip (12x768, 8192 pts, 128-step Heun, batch 16)",
+        "value": round(batch / best_sample, 3),
+        "unit": "clouds/s",
+        "vs_baseline": None,
+        "extra": {
+            "denoiser_eval_ms_in_sampler": round(best_sample / HEUN_EVALS * 1e3, 3),
+            "train_step_ms_batch16": (
+                round(train_step_s * 1e3, 1) if train_step_s else None
+            ),
+            "device": str(jax.devices()[0]),
+        },
+    }
+
+
+def bench_conditional():
+    from gecco_tpu.types import Context3d
+
+    model = build_conditional_model()
+    batch, n_points = 48, 2048
+    img = jax.random.uniform(jax.random.PRNGKey(3), (batch, 256, 256, 3))
+    K = jnp.broadcast_to(
+        jnp.array([[0.75, 0.0, 0.5], [0.0, 0.75, 0.5], [0.0, 0.0, 1.0]]),
+        (batch, 3, 3),
+    )
+    raw_ctx = Context3d(image=img, K=K)
+
+    # conditioning pyramid runs once per batch; eval chain measures the
+    # per-step denoiser (ctx precomputed, as in the sampler)
+    ctx = jax.jit(lambda m, c: m.cond(c))(model, raw_ctx)
+    p50_chain = time_denoise_chain(
+        model, batch=batch, n_points=n_points, ctx=ctx
+    )
+    clouds = time_sampler(model, 2, batch=batch, n_points=n_points, raw_ctx=raw_ctx)
+    cond_fn = jax.jit(lambda m, c: jax.tree.leaves(m.cond(c))[0].sum())
+    cond_s = _time_calls(cond_fn, 3, model, raw_ctx)
+    return {
+        "metric": "conditional clouds/sec/chip (RayNetwork+ConvNeXt-tiny, 256^2 img, 2048 pts, 128-step Heun, batch 48)",
+        "value": round(clouds, 3),
+        "unit": "clouds/s",
+        "vs_baseline": None,
+        "extra": {
+            "denoiser_eval_ms_in_sampler_approx": round(
+                (batch / clouds - cond_s) / HEUN_EVALS * 1e3, 3
+            ),
+            "p50_denoiser_eval_ms_chain8": round(p50_chain * 1e3, 3),
+            "convnext_pyramid_ms_per_batch": round(cond_s * 1e3, 1),
+            "device": str(jax.devices()[0]),
+        },
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--config", default="flagship",
+        choices=("flagship", "conditional", "scaled8k"),
+    )
+    args = ap.parse_args()
+    result = {
+        "flagship": bench_flagship,
+        "conditional": bench_conditional,
+        "scaled8k": bench_scaled8k,
+    }[args.config]()
     print(json.dumps(result))
 
 

@@ -43,7 +43,10 @@ def make_model(key):
         mlp_blowup=2,
         compute_dtype=jnp.bfloat16,
         attn_impl="folded_pallas",
-        remat=True,
+        # round 3: the fused kernels' custom_vjp residuals are [B,N,C]-scale,
+        # so flagship training fits HBM without remat — and runs ~14% faster
+        # (90.9 vs 105.3 ms/step at batch 48)
+        remat=False,
     )
     network = UnconditionalPointNetwork.init(nk, backbone, feature_dim=384)
     schedule = LogUniformSchedule(
@@ -86,9 +89,17 @@ def train(make_model, train_loader, val_loader, save_path):
         # validation phase, ~3% of the 10k-step phase interval; the absolute
         # value shifts with the step count, compare runs at equal settings
         metrics=(SupervisedMetric(), LogpMetric(n_solver_steps=24)),
+        # warmup + cosine decay to 2% of peak: the reference trains at a
+        # fixed 3e-4 (gecco-jax/src/gecco_jax/training.py:148-152), but the
+        # round-2 flagship runs showed 1-NN oscillation at fixed lr on hard
+        # mixtures (BASELINE.md); decay stabilises the tail at no cost early
         optimizer=optax.chain(
             optax.clip_by_global_norm(1.0),
-            optax.adabelief(learning_rate=3e-4),
+            optax.adabelief(
+                learning_rate=optax.warmup_cosine_decay_schedule(
+                    0.0, 3e-4, 2_000, NUM_STEPS, end_value=6e-6
+                )
+            ),
         ),
         ema_alpha=0.999,
         n_validation_batches=8,

@@ -35,7 +35,10 @@ def make_model(key):
         num_heads=8,
         compute_dtype=jnp.bfloat16,
         attn_impl="folded_pallas",
-        remat=True,
+        # round 3: the fused kernels' custom_vjp residuals are [B,N,C]-scale,
+        # so flagship training fits HBM without remat — and runs ~14% faster
+        # (90.9 vs 105.3 ms/step at batch 48)
+        remat=False,
     )
     network = UnconditionalPointNetwork.init(nk, backbone, feature_dim=384)
     schedule = LogUniformSchedule(sigma_max=165.0, sigma_min=0.002, n_solver_steps=128)

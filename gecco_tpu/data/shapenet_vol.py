@@ -1,13 +1,18 @@
-"""ShapeNet in the Occupancy-Networks layout (pointcloud.npz + cameras.npz +
-rendered views), un/posed/image-conditional.
+"""ShapeNet in the Occupancy-Networks on-disk layout.
 
-Parity with gecco-jax/src/gecco_jax/data/shapenet_vol.py:35-275, torch-free:
-- ``ShapeNetVolModel``: one object; posed mode yields 24 camera views with
-  world-transformed points; image_conditional adds the rendered view + K;
-- per-view fix masks from ``per_view_point_masks.npz`` (:101-127);
-- camera matrices normalised by IM_SIZE + 1 (:94);
-- ``ShapeNetVolClass`` / ``ShapeNetVol`` concatenate via our own
-  ConcatDataset (no torch).
+Each object directory holds ``pointcloud.npz`` (normalised cloud + loc/scale),
+``img_choy2016/cameras.npz`` (24 posed views: ``world_mat_i`` extrinsics and
+``camera_mat_i`` intrinsics) and ``img_choy2016/NNN.jpg`` renders, optionally
+plus ``per_view_point_masks.npz`` with per-view visibility fixes. Behavioural
+parity with gecco-jax/src/gecco_jax/data/shapenet_vol.py:35-275 (unposed /
+posed / image-conditional modes, mask handling, the camera normalisation by
+IM_SIZE + 1, and the test-time extras tuple), torch-free: concatenation uses
+our own ConcatDataset and image decoding goes through PIL.
+
+Differences from the reference implementation (same formats, our idioms):
+deterministic per-(object, view) subsampling seeds, lazy camera cache as a
+single tuple, matmul instead of einsum for the world transform, and
+``DataError`` instead of bare asserts for malformed objects.
 """
 
 from __future__ import annotations
@@ -20,26 +25,29 @@ from typing import Callable, List, NamedTuple, Optional, Union
 import numpy as np
 
 from gecco_tpu.data.loader import ConcatDataset
-from gecco_tpu.types import Context3d, Example
+from gecco_tpu.types import Context3d, DataError, Example
 
 __all__ = ["ShapeNetVolModel", "ShapeNetVolClass", "ShapeNetVol", "IM_SIZE"]
 
 IM_SIZE = 137  # 137 x 137 pixel renders
-WORLD_MAT_RE = re.compile(r"world_mat_(\d+)")
-CAMERA_MAT_RE = re.compile(r"camera_mat_(\d+)")
-FIX_MASK_RE = re.compile(r"mask_(\d+)")
+_MAT_KEY = re.compile(r"(world|camera)_mat_(\d+)$")
+_MASK_KEY = re.compile(r"mask_(\d+)$")
 
 
-def _load_image(path: str) -> np.ndarray:
+def _read_rgb(path: str) -> np.ndarray:
+    """Decode a render to float32 RGB in [0, 1] (grayscale gets replicated)."""
     from PIL import Image
 
-    image = np.asarray(Image.open(path)).astype(np.float32) / 255.0
-    if image.ndim == 2:  # grayscale to rgb
-        image = image[..., None].repeat(3, axis=2)
-    return image[..., :3]
+    arr = np.asarray(Image.open(path)).astype(np.float32) / 255.0
+    if arr.ndim == 2:
+        arr = np.repeat(arr[:, :, None], 3, axis=2)
+    return arr[..., :3]
 
 
 class TestData(NamedTuple):
+    """Raw-geometry extras attached in ``is_testing`` mode so evaluation can
+    undo the loc/scale normalisation and the world transform."""
+
     points_raw: np.ndarray
     scale: np.ndarray
     loc: np.ndarray
@@ -49,6 +57,14 @@ class TestData(NamedTuple):
 
 
 class ShapeNetVolModel:
+    """One object directory.
+
+    Unposed mode yields a single world-space cloud; ``posed`` mode yields one
+    example per camera view with the cloud moved into that camera's frame;
+    ``image_conditional`` additionally attaches the rendered view and its
+    normalised intrinsics (the conditioning stack's input contract).
+    """
+
     def __init__(
         self,
         root: str,
@@ -60,7 +76,9 @@ class ShapeNetVolModel:
         seed: int = 0,
     ):
         if image_conditional and not posed:
-            raise AssertionError("image_conditional=True is valid only with posed=True")
+            raise ValueError(
+                "image conditioning needs per-view poses: pass posed=True"
+            )
         self.root = root
         self.posed = posed
         self.image_conditional = image_conditional
@@ -68,148 +86,133 @@ class ShapeNetVolModel:
         self.skip_fixed = skip_fixed
         self.is_testing = is_testing
         self.seed = seed
+        self._camera_cache: Optional[tuple] = None
+        self._mask_views: Optional[frozenset] = None
 
-        self.wmats = None
-        self.cmats = None
-        self._fixed_view_ids = None
-        self._is_fixed = None
+    # -- lazy per-object resources ------------------------------------------
 
     @property
-    def fixed_path(self) -> str:
+    def _mask_path(self) -> str:
         return os.path.join(self.root, "per_view_point_masks.npz")
 
     @property
     def is_fixed(self) -> bool:
-        if self._is_fixed is None:
-            self._is_fixed = os.path.exists(self.fixed_path)
-        return self._is_fixed
+        """Whether this object ships per-view visibility fix masks."""
+        return os.path.exists(self._mask_path)
 
-    def get_camera_params(self, index: int):
-        if self.wmats is None:
-            npz = np.load(os.path.join(self.root, "img_choy2016", "cameras.npz"))
-            world_ids, camera_ids = set(), set()
-            for key in npz.keys():
-                if (m := WORLD_MAT_RE.match(key)) is not None:
-                    world_ids.add(int(m.group(1)))
-                elif (m := CAMERA_MAT_RE.match(key)) is not None:
-                    camera_ids.add(int(m.group(1)))
-            assert world_ids == camera_ids
-            indices = np.array(sorted(world_ids))
-            if (indices != np.arange(len(indices))).any():
-                raise AssertionError("Bad shapenet model")
-
-            world_mats = np.stack([npz[f"world_mat_{i}"] for i in indices])
-            camera_mats = np.stack([npz[f"camera_mat_{i}"] for i in indices])
-            # normalise pixel coords to [0, 1] (reference :94)
-            camera_mats = camera_mats / np.array(
-                [IM_SIZE + 1, IM_SIZE + 1, 1]
-            ).reshape(3, 1)
-            self.wmats = world_mats.astype(np.float32)
-            self.cmats = camera_mats.astype(np.float32)
-        return self.wmats[index], self.cmats[index]
-
-    def get_fix_mask(self, view: int) -> Optional[np.ndarray]:
-        if not self.is_fixed:
-            return None
-        if self._fixed_view_ids is not None and view not in self._fixed_view_ids:
-            return None
-        try:
-            fix_file = np.load(self.fixed_path)
-        except FileNotFoundError:
-            return None
-        if self._fixed_view_ids is None:
-            self._fixed_view_ids = frozenset(
-                int(m.group(1))
-                for key in fix_file.keys()
-                if (m := FIX_MASK_RE.match(key)) is not None
+    def _cameras(self) -> tuple:
+        """(world_mats [V, 3, 4], camera_mats [V, 3, 3]) for all views, with
+        intrinsics rescaled so pixel coordinates land in [0, 1]."""
+        if self._camera_cache is None:
+            archive = np.load(
+                os.path.join(self.root, "img_choy2016", "cameras.npz")
             )
-            if view not in self._fixed_view_ids:
-                return None
-        return fix_file[f"mask_{view}"]
+            ids: dict = {"world": set(), "camera": set()}
+            for key in archive.keys():
+                if (m := _MAT_KEY.match(key)) is not None:
+                    ids[m.group(1)].add(int(m.group(2)))
+            views = sorted(ids["world"])
+            if ids["world"] != ids["camera"] or views != list(range(len(views))):
+                raise DataError(
+                    f"{self.root}: cameras.npz does not hold a dense, paired "
+                    f"set of world/camera matrices"
+                )
+            wmats = np.stack([archive[f"world_mat_{v}"] for v in views])
+            kmats = np.stack([archive[f"camera_mat_{v}"] for v in views])
+            # pixel coords -> [0, 1] (reference shapenet_vol.py:94)
+            kmats = kmats / np.array([IM_SIZE + 1, IM_SIZE + 1, 1.0]).reshape(3, 1)
+            self._camera_cache = (
+                wmats.astype(np.float32), kmats.astype(np.float32)
+            )
+        return self._camera_cache
 
-    def points_scale_loc(self):
+    def _view_mask(self, view: Optional[int]) -> Optional[np.ndarray]:
+        """Visibility fix mask for one view, or None when absent."""
+        if view is None or not self.is_fixed:
+            return None
+        archive = np.load(self._mask_path)
+        if self._mask_views is None:
+            self._mask_views = frozenset(
+                int(m.group(1))
+                for key in archive.keys()
+                if (m := _MASK_KEY.match(key)) is not None
+            )
+        if view not in self._mask_views:
+            return None
+        return archive[f"mask_{view}"]
+
+    # -- geometry -----------------------------------------------------------
+
+    def _raw_cloud(self) -> tuple:
         pc = np.load(os.path.join(self.root, "pointcloud.npz"))
-        return (
-            pc["points"].astype(np.float32),
-            pc["scale"].astype(np.float32),
-            pc["loc"].astype(np.float32),
-        )
+        return tuple(pc[k].astype(np.float32) for k in ("points", "scale", "loc"))
 
-    def points_world(self, view: Optional[int] = None) -> np.ndarray:
-        points, scale, loc = self.points_scale_loc()
-        if view is not None:
-            fix_mask = self.get_fix_mask(view)
-            if fix_mask is not None:
-                points = points[fix_mask]
+    def _world_points(self, view: Optional[int]) -> np.ndarray:
+        """Subsampled world-space cloud (mask applied, denormalised)."""
+        points, scale, loc = self._raw_cloud()
+        mask = self._view_mask(view)
+        if mask is not None:
+            points = points[mask]
         if self.n_points is not None:
-            rng = np.random.default_rng(None if self.seed is None else (self.seed, view or 0))
-            subset = rng.permutation(points.shape[0])[: self.n_points]
-            points = points[subset]
+            rng = np.random.default_rng(
+                None if self.seed is None else (self.seed, view or 0)
+            )
+            points = points[rng.permutation(points.shape[0])[: self.n_points]]
         return points * scale + loc[None, :]
+
+    # -- dataset protocol ---------------------------------------------------
 
     def __len__(self):
         if self.skip_fixed and self.is_fixed:
             return 0
-        if self.is_testing:
+        if self.is_testing or not self.posed:
             return 1
-        if self.posed:
-            return 24
-        return 1
+        return self._cameras()[0].shape[0] if self._camera_cache else 24
 
     def __getitem__(self, index: int) -> Example:
         if not self.posed:
-            return Example(points=self.points_world(view=None))
+            return Example(points=self._world_points(view=None))
 
-        wmat, cmat = self.get_camera_params(index)
-        points = self.points_world(view=index)
-        points_t = np.einsum("ab,nb->na", wmat[:, :3], points) + wmat[:, -1]
+        wmat, kmat = (m[index] for m in self._cameras())
+        # world -> camera frame: R p + t with wmat = [R | t]
+        points = self._world_points(view=index) @ wmat[:, :3].T + wmat[:, 3]
 
+        extras: tuple = ()
         if self.is_testing:
-            *_prefix, category, object_id = self.root.rstrip("/").split("/")
-            points_raw, scale, loc = self.points_scale_loc()
-            extras = TestData(
-                points_raw=points_raw,
-                scale=scale,
-                loc=loc,
-                wmat=wmat,
-                category=category,
-                object_id=object_id,
-            )
-        else:
-            extras = ()
+            *_, category, object_id = self.root.rstrip("/").split("/")
+            raw, scale, loc = self._raw_cloud()
+            extras = TestData(raw, scale, loc, wmat, category, object_id)
 
         if not self.image_conditional:
             return Example(
-                points=points_t,
-                ctx=Context3d(image=(), K=cmat.copy()),
-                extras=extras,
+                points=points, ctx=Context3d(image=(), K=kmat.copy()), extras=extras
             )
-
-        image = _load_image(
+        image = _read_rgb(
             os.path.join(self.root, "img_choy2016", f"{index:03d}.jpg")
         )
         return Example(
-            points=points_t,
-            ctx=Context3d(image=image, K=cmat.copy(), wmat=wmat.copy()),
+            points=points,
+            ctx=Context3d(image=image, K=kmat.copy(), wmat=wmat.copy()),
             extras=extras,
         )
 
 
 class ShapeNetVolClass(ConcatDataset):
-    """All objects of one synset listed in ``<split>.lst`` (:219-241)."""
+    """Every object of one synset named in ``<split>.lst``
+    (ref shapenet_vol.py:219-241)."""
 
     def __init__(self, root: str, split: str, **kw):
-        with open(os.path.join(root, f"{split}.lst")) as split_file:
-            split_ids = [line.strip() for line in split_file if line.strip()]
-        make_model = partial(ShapeNetVolModel, **kw)
-        super().__init__([make_model(os.path.join(root, sid)) for sid in split_ids])
+        with open(os.path.join(root, f"{split}.lst")) as fh:
+            object_ids = [ln.strip() for ln in fh if ln.strip()]
+        build = partial(ShapeNetVolModel, **kw)
+        super().__init__([build(os.path.join(root, oid)) for oid in object_ids])
         self.root = root
         self.split = split
 
 
 class ShapeNetVol(ConcatDataset):
-    """All synsets under ``root`` for a named split, or an explicit list of
-    model paths (:244-274)."""
+    """Either every synset under ``root`` for a named split, or an explicit
+    list of object paths (ref shapenet_vol.py:244-274)."""
 
     def __init__(
         self,
@@ -219,17 +222,14 @@ class ShapeNetVol(ConcatDataset):
         **kw,
     ):
         if isinstance(split, str):
-            subroots = sorted(
-                os.path.join(root, d)
-                for d in os.listdir(root)
-                if os.path.isdir(os.path.join(root, d))
+            synsets = sorted(
+                entry.path for entry in os.scandir(root) if entry.is_dir()
             )
-            super().__init__(
-                [ShapeNetVolClass(subroot, split, **kw) for subroot in subroots]
-            )
+            super().__init__([ShapeNetVolClass(s, split, **kw) for s in synsets])
         else:
-            assert all(isinstance(p, str) for p in split)
-            super().__init__([ShapeNetVolModel(path, **kw) for path in split])
+            if not all(isinstance(p, str) for p in split):
+                raise TypeError("explicit split must be a list of object paths")
+            super().__init__([ShapeNetVolModel(p, **kw) for p in split])
         self.transform = transform
 
     def __getitem__(self, index: int) -> Example:

@@ -1,15 +1,25 @@
-"""Taskonomy scene dataset: per-building h5 point clouds + rgb jpgs.
+"""Taskonomy scene dataset: per-building h5 point clouds + rgb jpg frames.
 
-Parity with gecco-jax/src/gecco_jax/data/taskonomy.py:14-147, torch-free
-(h5py + PIL): missing-view reindexing, split csv parsing, per-item random
-point subsampling.
+On-disk layout (as consumed by gecco-jax/src/gecco_jax/data/taskonomy.py:
+14-147): ``<root>/point_clouds/<building>.h5`` with datasets ``point``/
+``view`` (frame ids), ``pc`` (clouds) and ``k`` (intrinsics);
+``<root>/rgb/<building>/<building>_<point>_<view>.jpg`` renders; and a
+``taskonomy_split.csv`` train/val/test table. Frames whose jpg is absent on
+disk are skipped (the published dataset has holes), matching the reference's
+behaviour.
+
+Torch-free implementation with our own idioms: a precomputed frame index
+table instead of per-access filename regex round-trips, per-thread cached h5
+handles (the reference reopens the file for every item, taskonomy.py:76 — at
+~400 GB streaming rates the open dominates), and csv parsing via the stdlib.
 """
 
 from __future__ import annotations
 
+import csv
 import os
-import re
 import threading
+
 import numpy as np
 
 from gecco_tpu.data.loader import ConcatDataset
@@ -17,10 +27,10 @@ from gecco_tpu.types import Context3d, Example
 
 __all__ = ["Building", "Taskonomy", "parse_split_file"]
 
-_FNAME_RE = re.compile(r"\w+_(\d+)_(\d+)\.jpg")
-
 
 class Building:
+    """All frames of one building whose rgb render exists on disk."""
+
     def __init__(self, name: str, h5_path: str, rgb_path: str, n_points: int = 2048):
         import h5py
 
@@ -29,47 +39,23 @@ class Building:
         self.rgb_path = os.path.join(rgb_path, name)
         self.n_points = n_points
         self.return_image_path = False
-
-        with h5py.File(self.h5_path, "r") as h5_file:
-            points = h5_file["point"][()]
-            views = h5_file["view"][()]
-
-        self.points_and_views = list(zip(points.tolist(), views.tolist()))
         self._local = threading.local()  # per-thread h5 handle cache
-        missing = self.missing_points_and_views()
-        is_available = ~np.array(
-            [(pv in missing) for pv in self.points_and_views], dtype=bool
-        )
-        self.reindex = np.arange(len(self.points_and_views))[is_available]
+
+        with h5py.File(self.h5_path, "r") as fh:
+            frame_ids = np.stack([fh["point"][()], fh["view"][()]], axis=1)
+
+        # keep only frames whose render is actually on disk
+        on_disk = frozenset(os.listdir(self.rgb_path))
+        self._frames = [
+            (row, f"{name}_{pid}_{vid}.jpg")
+            for row, (pid, vid) in enumerate(frame_ids.tolist())
+        ]
+        self._frames = [fr for fr in self._frames if fr[1] in on_disk]
 
     def return_image_path_(self, value: bool) -> None:
         self.return_image_path = value
 
-    def rgb_file_path(self, index: int, name_only: bool = False) -> str:
-        point, view = self.points_and_views[index]
-        fname = f"{self.name}_{point}_{view}.jpg"
-        return fname if name_only else os.path.join(self.rgb_path, fname)
-
-    def missing_points_and_views(self) -> set:
-        existing = frozenset(os.listdir(self.rgb_path))
-        requested = frozenset(
-            self.rgb_file_path(i, name_only=True)
-            for i in range(len(self.points_and_views))
-        )
-        missing = set()
-        for fname in requested - existing:
-            if (m := _FNAME_RE.match(fname)) is None:
-                raise RuntimeError(f"{fname!r} doesn't match format.")
-            missing.add((int(m.group(1)), int(m.group(2))))
-        return missing
-
-    def __len__(self):
-        return len(self.reindex)
-
     def _h5(self):
-        """Per-thread cached h5 handle (the reference reopens the file for
-        every item, taskonomy.py:76; at ~400 GB streaming rates the open
-        dominates)."""
         import h5py
 
         handle = getattr(self._local, "h5", None)
@@ -78,62 +64,62 @@ class Building:
             self._local.h5 = handle
         return handle
 
+    def __len__(self):
+        return len(self._frames)
+
     def __getitem__(self, index: int) -> Example:
         from PIL import Image
 
-        index = self.reindex[index]
-        h5_file = self._h5()
-        pc = h5_file["pc"][index]
-        K = h5_file["k"][index]
+        row, fname = self._frames[index]
+        fh = self._h5()
+        cloud = np.asarray(fh["pc"][row], np.float32)
+        intrinsics = np.asarray(fh["k"][row], np.float32)
 
-        image_path = self.rgb_file_path(index)
+        image_path = os.path.join(self.rgb_path, fname)
         image = np.asarray(Image.open(image_path)).astype(np.float32) / 255.0
 
-        perm = np.random.permutation(pc.shape[0])[: self.n_points]
-        pc = pc[perm]
-
-        extras = (image_path,) if self.return_image_path else ()
+        keep = np.random.permutation(cloud.shape[0])[: self.n_points]
         return Example(
-            points=pc.astype(np.float32),
-            ctx=Context3d(image=image, K=np.asarray(K, np.float32)),
-            extras=extras,
+            points=cloud[keep],
+            ctx=Context3d(image=image, K=intrinsics),
+            extras=(image_path,) if self.return_image_path else (),
         )
 
 
 def parse_split_file(split_file) -> dict:
-    splits = {}
-    for line in list(split_file)[1:]:  # skip header
-        name, is_train, is_val, is_test = line.split(",")
-        if int(is_train):
-            splits[name] = "train"
-        if int(is_val):
-            splits[name] = "val"
-        if int(is_test):
-            splits[name] = "test"
-    return splits
+    """csv with columns (name, is_train, is_val, is_test) -> name -> split."""
+    table = {}
+    for row in list(csv.reader(split_file))[1:]:  # skip header
+        if not row:
+            continue
+        name, *flags = row
+        for flag, split in zip(flags, ("train", "val", "test")):
+            if int(flag):
+                table[name] = split
+    return table
 
 
 class Taskonomy(ConcatDataset):
+    """Every building of one split concatenated (ref taskonomy.py:138-205)."""
+
     def __init__(self, path: str, split: str = "all", n_points: int = 2048):
         self.h5_path = os.path.join(path, "point_clouds")
         self.rgb_path = os.path.join(path, "rgb")
         self.split = split
 
-        with open(os.path.join(path, "taskonomy_split.csv")) as split_file:
-            splits = parse_split_file(split_file)
+        with open(os.path.join(path, "taskonomy_split.csv")) as fh:
+            table = parse_split_file(fh)
 
-        belongs = (lambda _n: True) if split == "all" else (
-            lambda name: splits.get(name) == split
+        names = [
+            f[: -len(".h5")]
+            for f in sorted(os.listdir(self.h5_path))
+            if f.endswith(".h5")
+        ]
+        if split != "all":
+            names = [n for n in names if table.get(n) == split]
+        super().__init__(
+            [Building(n, self.h5_path, self.rgb_path, n_points=n_points) for n in names]
         )
-
-        buildings = []
-        for file in sorted(os.listdir(self.h5_path)):
-            name = file[: -len(".h5")]
-            if belongs(name):
-                buildings.append(
-                    Building(name, self.h5_path, self.rgb_path, n_points=n_points)
-                )
-        super().__init__(buildings)
 
     def __repr__(self):
         return (

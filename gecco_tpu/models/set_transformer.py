@@ -41,6 +41,37 @@ from gecco_tpu.utils import Linear, module, static, splitter, stack_modules
 __all__ = ["AttentionPool", "Unpool", "Broadcast", "BroadcastingLayer", "SetTransformer"]
 
 
+def _fold_mlp_operands(mlp: MLP, dt) -> tuple:
+    """Pre-fold the Gaussian activation's alpha (and the normalized-activation
+    affine) into a 2-layer MLP's weights — the operand convention shared by
+    ``fused_mlp_residual`` and ``fused_h_side``: returns
+    ``(w1t [C, W] dt, b1 [1, W] fp32, w2t [W, C] dt, b2 [1, C] fp32)``."""
+    w1, w2 = mlp.layers
+    act = mlp.activation
+    alpha = act.alpha.astype(jnp.float32)
+    w1t = (w1.weight.astype(jnp.float32) / alpha).T.astype(dt)
+    b1 = (w1.bias.astype(jnp.float32) / alpha)[None]  # [1, W]
+    w2t = w2.weight.astype(jnp.float32).T  # [W, C]
+    b2 = w2.bias.astype(jnp.float32)[None]  # [1, C]
+    if act.normalized:
+        # fold (g - 0.7) / 0.28 into the second projection
+        b2 = b2 - (0.7 / 0.28) * w2t.sum(axis=0, keepdims=True)
+        w2t = w2t / 0.28
+    return w1t, b1, w2t.astype(dt), b2
+
+
+def _mlp_fusable(mlp: MLP, key) -> bool:
+    """Whether a given MLP matches the fused-kernel operand convention."""
+    return (
+        len(mlp.layers) == 2
+        and isinstance(mlp.activation, GaussianActivation)
+        and (key is None or mlp.dropout_p == 0.0)
+        # the fused kernels fold alpha into both biases — bias-free Linears
+        # degrade to the unfused path instead of crashing
+        and all(l.bias is not None for l in mlp.layers)
+    )
+
+
 def _split_heads(x: jnp.ndarray, num_heads: int) -> jnp.ndarray:
     # [B, N, C] -> [B, H, N, C/H]
     b, n, c = x.shape
@@ -315,39 +346,74 @@ class BroadcastingLayer:
         if h is None:
             scale1 = self.broadcast_norm.scale_linear(embed_f)  # [B, C] fp32
             bias1 = self.broadcast_norm.bias_linear(embed_f)
-            if pool_vmem_ok(n, c, num_heads * n_ind, jnp.dtype(dt).itemsize):
+            ind2 = inducers.reshape(num_heads * n_ind, c // num_heads).astype(dt)
+            kvw = bc.pool.kv_proj.weight.astype(dt)
+            wo_p = bc.pool.out_proj.weight.astype(dt)
+            # the resident kernel (stats in-kernel, single pass) is fastest
+            # for inference; training (a network key is threaded) and
+            # VMEM-exceeding point counts (the 8k config) route through the
+            # tiled online-softmax kernel with XLA stats — its custom_vjp
+            # backward reuses the saved softmax statistics instead of the
+            # resident path's forward recompute, and it has no VMEM gate
+            use_ext = (bkey is not None) or not pool_vmem_ok(
+                n, c, num_heads * n_ind, jnp.dtype(dt).itemsize
+            )
+            if not use_ext:
                 h0, mean_c, inv_c = folded_pool_layer(
-                    x, scale1, bias1,
-                    inducers.reshape(num_heads * n_ind, c // num_heads).astype(dt),
-                    bc.pool.kv_proj.weight.astype(dt),
-                    bc.pool.out_proj.weight.astype(dt),
+                    x, scale1, bias1, ind2, kvw, wo_p,
                     group_indicator(c, self.broadcast_norm.num_groups),
                     num_heads, True,
                 )
             else:
-                # VMEM-exceeding point counts: XLA stats + folded-XLA pool
                 from gecco_tpu.ops.norms import group_norm_stats
+                from gecco_tpu.ops.pallas.folded_attention import folded_pool_ext
 
                 mean_c, inv_c = group_norm_stats(
                     x, num_groups=self.broadcast_norm.num_groups
                 )
-                se = scale1 * inv_c
-                y = (
-                    x.astype(jnp.float32) * se[:, None, :]
-                    + (bias1 - mean_c * se)[:, None, :]
-                ).astype(dt)
-                h0 = bc.pool(y, attn_impl="folded")
+                h0 = folded_pool_ext(
+                    x, scale1 * inv_c, bias1 - mean_c * (scale1 * inv_c),
+                    ind2, kvw, wo_p, num_heads,
+                )
             se1 = scale1 * inv_c
             be1 = bias1 - mean_c * se1
-            hh = bc.norm_1(h0, embed)
-            hh = bc.mlp(hh, key=bkey)
-            h = bc.norm_2(hh, embed)
+            hside_fusable = (
+                _mlp_fusable(bc.mlp, bkey)
+                and isinstance(bc.norm_1, AdaGN)
+                and isinstance(bc.norm_2, AdaGN)
+                and bc.norm_1.num_groups == bc.norm_2.num_groups
+            )
+            if hside_fusable:
+                # norm_1 -> MLP -> norm_2 -> k/v projections as ONE Pallas
+                # program on the [B, I, C] inducer tokens (ops/pallas/hside.py)
+                # — at XLA level this chain is pure dispatch latency
+                from gecco_tpu.ops.pallas.hside import fused_h_side
+
+                w1t_h, b1_h, w2t_h, b2_h = _fold_mlp_operands(bc.mlp, dt)
+                h, k, v = fused_h_side(
+                    h0,
+                    bc.norm_1.scale_linear(embed_f),
+                    bc.norm_1.bias_linear(embed_f),
+                    bc.norm_2.scale_linear(embed_f),
+                    bc.norm_2.bias_linear(embed_f),
+                    group_indicator(c, bc.norm_1.num_groups),
+                    w1t_h, b1_h, w2t_h, b2_h,
+                    bc.unpool.k_proj.weight.astype(dt),
+                    bc.unpool.v_proj.weight.astype(dt),
+                )
+            else:
+                hh = bc.norm_1(h0, embed)
+                hh = bc.mlp(hh, key=bkey)
+                h = bc.norm_2(hh, embed)
+                k = v = None
         else:
             se1, be1 = self.broadcast_norm.effective_scale_bias(x, embed)
+            k = v = None
 
-        hd = h.astype(dt)
-        k = hd @ bc.unpool.k_proj.weight.astype(dt).T
-        v = hd @ bc.unpool.v_proj.weight.astype(dt).T
+        if k is None:
+            hd = h.astype(dt)
+            k = hd @ bc.unpool.k_proj.weight.astype(dt).T
+            v = hd @ bc.unpool.v_proj.weight.astype(dt).T
         x, sums = folded_unpool(
             x, se1, be1, k, v,
             bc.unpool.q_proj.weight.astype(dt),
@@ -355,15 +421,7 @@ class BroadcastingLayer:
             num_heads, True, True,
         )
 
-        mlp_fusable = (
-            len(self.mlp.layers) == 2
-            and isinstance(self.mlp.activation, GaussianActivation)
-            and (mkey is None or self.mlp.dropout_p == 0.0)
-            # the fused kernel folds alpha into both biases — bias-free
-            # Linears degrade to the unfused path instead of crashing
-            and all(l.bias is not None for l in self.mlp.layers)
-        )
-        if not mlp_fusable:
+        if not _mlp_fusable(self.mlp, mkey):
             y2 = x if mlp_on_unnormed else self.mlp_norm(x, embed)
             return x + self.mlp(y2, key=mkey), h
 
@@ -373,18 +431,8 @@ class BroadcastingLayer:
         else:
             se2, be2 = self.mlp_norm.scale_bias_from_sums(sums, n, embed)
 
-        w1, w2 = self.mlp.layers
-        act = self.mlp.activation
-        alpha = act.alpha.astype(jnp.float32)
-        w1t = (w1.weight.astype(jnp.float32) / alpha).T.astype(dt)
-        b1 = (w1.bias.astype(jnp.float32) / alpha)[None]  # [1, W]
-        w2t = w2.weight.astype(jnp.float32).T  # [W, C]
-        b2 = w2.bias.astype(jnp.float32)[None]  # [1, C]
-        if act.normalized:
-            # fold (g - 0.7) / 0.28 into the second projection
-            b2 = b2 - (0.7 / 0.28) * w2t.sum(axis=0, keepdims=True)
-            w2t = w2t / 0.28
-        x = fused_mlp_residual(x, se2, be2, w1t, b1, w2t.astype(dt), b2)
+        w1t, b1, w2t, b2 = _fold_mlp_operands(self.mlp, dt)
+        x = fused_mlp_residual(x, se2, be2, w1t, b1, w2t, b2)
         return x, h
 
 

@@ -55,9 +55,11 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 __all__ = [
     "folded_pool_layer",
+    "folded_pool_ext",
     "folded_unpool",
     "fused_mlp_residual",
     "pool_vmem_ok",
+    "pool_bwd_vmem_ok",
     "group_indicator",
 ]
 
@@ -231,22 +233,21 @@ def _pool_kernel(
         preferred_element_type=jnp.float32,
     ).astype(y.dtype)  # [N, C]
 
-    # per-head pooling + merge: merged[:, hD:(h+1)D] = p_h^T @ v_h
-    merged_parts = []
+    # per-head pooling folded straight into the output projection:
+    # h0 = sum_h (p_h^T @ v_h) @ Wo[:, hD:(h+1)D]^T — accumulating full-width
+    # [I, C] outer products instead of concatenating 8 narrow [I, D] blocks
+    # (wide lane concats cost a Mosaic relayout; same FLOPs either way).
+    acc = jnp.zeros((i, c), jnp.float32)
     for h in range(num_heads):
-        merged_parts.append(
-            jax.lax.dot_general(
-                p[:, h * i : (h + 1) * i], v[:, h * d : (h + 1) * d],
-                (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-            )
+        pooled_h = jax.lax.dot_general(
+            p[:, h * i : (h + 1) * i], v[:, h * d : (h + 1) * d],
+            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
         )  # [I, D]
-    merged = jnp.concatenate(merged_parts, axis=-1).astype(y.dtype)  # [I, C]
-
-    # output projection
-    h0_ref[0] = jax.lax.dot_general(
-        merged, wo_ref[:], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(h0_ref.dtype)
+        acc += jax.lax.dot_general(
+            pooled_h.astype(y.dtype), wo_ref[:, h * d : (h + 1) * d],
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+    h0_ref[0] = acc.astype(h0_ref.dtype)
 
 
 def pool_vmem_ok(n: int, c: int, j: int, itemsize: int = 2) -> bool:
@@ -301,8 +302,10 @@ def _pool_impl(x, scale, bias, ind2, kvw, wo, gind, num_heads, prenorm=True):
     )(x, scale[:, None, :], bias[:, None, :], ind2, kvw, wo, gind)
     mean_c = mean_c[:, 0]
     inv_c = inv_c[:, 0]
-    # tie outputs together against pallas-output DCE (axon Mosaic bug)
-    h0 = h0 + (0.0 * (mean_c[0, 0] + inv_c[0, 0])).astype(h0.dtype)
+    # tie outputs together against pallas-output DCE (axon Mosaic bug);
+    # single-element update-slice instead of a full-tensor add — XLA
+    # aliases the buffer in place, so the tie costs ~nothing
+    h0 = h0.at[0, 0, 0].add((0.0 * (mean_c[0, 0] + inv_c[0, 0])).astype(h0.dtype))
     return h0, mean_c, inv_c
 
 
@@ -424,15 +427,23 @@ def _pool_bwd_kernel(
         preferred_element_type=jnp.float32,
     ).astype(y.dtype)  # [N, C]
 
-    merged_parts = []
+    # merged[:, hD:(h+1)D] = p_h^T @ v_h, assembled by accumulating against
+    # identity rows instead of an 8-way lane concat (Mosaic relayout)
+    eye_c = (
+        jax.lax.broadcasted_iota(jnp.int32, (c, c), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (c, c), 1)
+    ).astype(y.dtype)
+    merged_f = jnp.zeros((i, c), jnp.float32)
     for h in range(num_heads):
-        merged_parts.append(
-            jax.lax.dot_general(
-                p_b[:, h * i : (h + 1) * i], v[:, h * d : (h + 1) * d],
-                (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-            )
+        pooled_h = jax.lax.dot_general(
+            p_b[:, h * i : (h + 1) * i], v[:, h * d : (h + 1) * d],
+            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
         )
-    merged = jnp.concatenate(merged_parts, axis=-1).astype(y.dtype)  # [I, C]
+        merged_f += jax.lax.dot_general(
+            pooled_h.astype(y.dtype), eye_c[h * d : (h + 1) * d, :],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+    merged = merged_f.astype(y.dtype)  # [I, C]
 
     # ---- backward
     gh = gh_ref[0].astype(jnp.float32)  # [I, C] cotangent of h0
@@ -562,7 +573,7 @@ def _pool_bwd_impl(x, scale, bias, ind2, kvw, wo, gind, g_h0, g_mean, g_inv, num
     )
     dx, dscale, dbias, dqf, dwv, dwo = outs
     tie = 0.0 * (dscale[0, 0, 0] + dbias[0, 0, 0] + dqf[0, 0] + dwv[0, 0] + dwo[0, 0])
-    dx = dx + tie.astype(dx.dtype)
+    dx = dx.at[0, 0, 0].add(tie.astype(dx.dtype))  # in-place DCE tie
 
     # chain dqf through the fold jacobian (tiny):
     # qf[c, hI+i] = scale_qk * sum_d kvw[hD+d, c] * ind2[hI+i, d]
@@ -702,13 +713,37 @@ def _pool_bwd(num_heads, prenorm, res, g):
     x, scale, bias, ind2, kvw, wo, gind = res
     n, c = x.shape[1], x.shape[2]
     j = ind2.shape[0]
-    if _twin_bwd("pool") or not pool_bwd_vmem_ok(n, c, j):
+    if _twin_bwd("pool"):
         _, vjp = jax.vjp(
             lambda xx, sc, bi, iq, kw, ow: _pool_ref(
                 xx, sc, bi, iq, kw, ow, gind.shape[1], num_heads, prenorm
             ),
             x, scale, bias, ind2, kvw, wo,
         )
+        return (*vjp(g), jnp.zeros_like(gind))
+    if not pool_bwd_vmem_ok(n, c, j):
+        # flagship training shapes: the resident backward kernel does not fit
+        # in VMEM. Decompose: GroupNorm stats differentiate through XLA (one
+        # cheap bandwidth pass), the attention side through the TILED
+        # online-softmax kernels (folded_pool_ext's custom_vjp) — instead of
+        # the old monolithic XLA-twin recompute that round-tripped the
+        # [B, N, J] logits through HBM.
+        def ext_fn(xx, sc, bi, iq, kw, ow):
+            if prenorm:
+                from gecco_tpu.ops.norms import group_norm_stats
+
+                mean_c, inv_c = group_norm_stats(xx, num_groups=gind.shape[1])
+                se = sc * inv_c
+                be = bi - mean_c * se
+            else:
+                mean_c = jnp.zeros_like(sc)
+                inv_c = jnp.ones_like(sc)
+                se = jnp.ones_like(sc)
+                be = jnp.zeros_like(sc)
+            h0 = folded_pool_ext(xx, se, be, iq, kw, ow, num_heads)
+            return h0, mean_c, inv_c
+
+        _, vjp = jax.vjp(ext_fn, x, scale, bias, ind2, kvw, wo)
         return (*vjp(g), jnp.zeros_like(gind))
     g_h0, g_mean, g_inv = g
     # the incoming h0 cotangent is truncated to the activation dtype (bf16)
@@ -727,6 +762,496 @@ def _pool_bwd(num_heads, prenorm, res, g):
 
 
 folded_pool_layer.defvjp(_pool_fwd, _pool_bwd)
+
+
+# ----------------------------------------------------------- tiled pool --
+#
+# The resident pool kernel above holds the full [N, J] logits in VMEM (its
+# softmax is over the point axis), which gates it off at N=8192 (forward) and
+# at flagship training shapes (backward). The ``folded_pool_ext`` pair below
+# removes both gates: an ONLINE-softmax forward over point tiles (flash-
+# attention-style running max/sum; the pooled accumulator lives in [J, D]
+# row-per-(head, inducer) layout so corrections are plain row broadcasts) and
+# a two-pass tiled backward (pass 0 accumulates the softmax-backward inner
+# products and the pooled values, pass 1 emits the gradients). "ext" because
+# the pre-norm is EXTERNAL: the caller passes the collapsed ``x * se + be``
+# affine (stats via gecco_tpu.ops.norms.group_norm_stats in XLA — one cheap
+# bandwidth pass), so the GroupNorm backward composes by autodiff.
+# Replaces the same reference math as the resident kernel
+# (gecco-jax/src/gecco_jax/models/set_transformer.py:17-102).
+
+
+def _eye(n: int, dtype=jnp.float32) -> jnp.ndarray:
+    return (
+        jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    ).astype(dtype)
+
+
+def _pool_ext_kernel(
+    x_ref, se_ref, be_ref, ind_ref, kvw_ref, wo_ref, eyej_ref,
+    h0_ref, macc_ref, sacc_ref,
+    qf_scratch, pacc_scratch,
+    *, num_heads: int, num_inducers: int, scale_qk: float,
+):
+    ni = pl.program_id(1)
+    nt = pl.num_programs(1)
+    x = x_ref[0]  # [TN, C]
+    c = x.shape[-1]
+    d = c // num_heads
+    i = num_inducers
+
+    @pl.when(ni == 0)
+    def _():
+        for h in range(num_heads):
+            wk_h = kvw_ref[h * d : (h + 1) * d, :]
+            ind_h = ind_ref[h * i : (h + 1) * i, :]
+            qf_scratch[:, h * i : (h + 1) * i] = (
+                scale_qk
+                * jax.lax.dot_general(
+                    wk_h, ind_h, (((0,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            ).astype(qf_scratch.dtype)
+        macc_ref[0] = jnp.full_like(macc_ref[0], -3.0e38)
+        sacc_ref[0] = jnp.zeros_like(sacc_ref[0])
+        pacc_scratch[:] = jnp.zeros_like(pacc_scratch)
+
+    y = (x.astype(jnp.float32) * se_ref[0] + be_ref[0]).astype(x.dtype)
+    s = jax.lax.dot_general(
+        y, qf_scratch[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [TN, J]
+    tile_max = jnp.max(s, axis=0, keepdims=True)  # full-width sublane reduce
+    m_old = macc_ref[0]
+    m_new = jnp.maximum(m_old, tile_max)
+    corr = jnp.exp(jnp.maximum(m_old - m_new, -80.0))  # [1, J]
+    e = jnp.exp(jnp.maximum(s - m_new, -80.0))
+    macc_ref[0] = m_new
+    sacc_ref[0] = sacc_ref[0] * corr + jnp.sum(e, axis=0, keepdims=True)
+    # [1, J] -> [J, 1] via an identity matmul (Mosaic-safe transpose)
+    corr_col = jax.lax.dot_general(
+        eyej_ref[:], corr, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    pacc_scratch[:] = pacc_scratch[:] * corr_col
+    v = jax.lax.dot_general(
+        y, kvw_ref[c : 2 * c, :], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(y.dtype)  # [TN, C]
+    e_b = e.astype(y.dtype)
+    for h in range(num_heads):
+        pacc_scratch[h * i : (h + 1) * i, :] += jax.lax.dot_general(
+            e_b[:, h * i : (h + 1) * i], v[:, h * d : (h + 1) * d],
+            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )  # [I, D] rows of the [J, D] accumulator
+
+    @pl.when(ni == nt - 1)
+    def _():
+        inv_col = jax.lax.dot_general(
+            eyej_ref[:], 1.0 / sacc_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [J, 1]
+        pnorm = (pacc_scratch[:] * inv_col).astype(y.dtype)  # [J, D]
+        acc = jnp.zeros((i, c), jnp.float32)
+        for h in range(num_heads):
+            acc += jax.lax.dot_general(
+                pnorm[h * i : (h + 1) * i, :], wo_ref[:, h * d : (h + 1) * d],
+                (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            )
+        h0_ref[0] = acc.astype(h0_ref.dtype)
+
+
+def _pool_ext_impl(x, se, be, ind2, kvw, wo, num_heads):
+    """x [B, N, C]; se/be [B, C] fp32 (collapsed pre-norm, applied inline);
+    ind2 [J, D]; kvw [2C, C]; wo [C, C] -> (h0 [B, I, C], macc [B, 1, J],
+    sacc [B, 1, J]) — the softmax statistics are saved for the backward."""
+    b, n, c = x.shape
+    j, d = ind2.shape
+    i = j // num_heads
+    tn = min(_pick_tile_n(n), 1024)
+    h0, macc, sacc = pl.pallas_call(
+        functools.partial(
+            _pool_ext_kernel,
+            num_heads=num_heads,
+            num_inducers=i,
+            scale_qk=1.0 / (d ** 0.5),
+        ),
+        grid=(b, n // tn),
+        in_specs=[
+            pl.BlockSpec((1, tn, c), lambda bi, ni: (bi, ni, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda bi, ni: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda bi, ni: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((j, d), lambda bi, ni: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * c, c), lambda bi, ni: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, c), lambda bi, ni: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((j, j), lambda bi, ni: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, i, c), lambda bi, ni: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, j), lambda bi, ni: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, j), lambda bi, ni: (bi, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, i, c), x.dtype),
+            jax.ShapeDtypeStruct((b, 1, j), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, j), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((c, j), x.dtype),
+            pltpu.VMEM((j, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")
+        ),
+        interpret=_interpret(),
+    )(x, se[:, None, :], be[:, None, :], ind2, kvw, wo, _eye(j))
+    # tie outputs against pallas-output DCE (axon Mosaic bug), in-place form
+    h0 = h0.at[0, 0, 0].add(
+        (0.0 * (macc[0, 0, 0] + sacc[0, 0, 0])).astype(h0.dtype)
+    )
+    return h0, macc, sacc
+
+
+_pool_ext_p = custom_partitioning(_pool_ext_impl, static_argnums=(6,))
+
+
+def _pool_ext_partition(num_heads, mesh, arg_shapes, result_shape):
+    b = _spec_dim(arg_shapes[0].sharding, 0)
+    x_sh = NamedSharding(mesh, P(b, None, None))
+    vec_sh = NamedSharding(mesh, P(b, None))
+    stat_sh = NamedSharding(mesh, P(b, None, None))
+    w_sh = NamedSharding(mesh, P(None, None))
+    impl = lambda *a: _pool_ext_impl(*a, num_heads)
+    return (
+        mesh,
+        impl,
+        (x_sh, stat_sh, stat_sh),
+        (x_sh, vec_sh, vec_sh, w_sh, w_sh, w_sh),
+    )
+
+
+def _pool_ext_infer(num_heads, mesh, arg_shapes, result_shape):
+    b = _spec_dim(arg_shapes[0].sharding, 0)
+    x_sh = NamedSharding(mesh, P(b, None, None))
+    return (x_sh, x_sh, x_sh)
+
+
+_pool_ext_p.def_partition(
+    _pool_ext_partition,
+    infer_sharding_from_operands=_pool_ext_infer,
+    sharding_rule="b n c, b c, b c, j d, e c1, c2 c3 -> b i c, b u j1, b u1 j2",
+    need_replication_factors=(
+        "n", "c", "j", "d", "e", "c1", "c2", "c3", "i", "u", "j1", "u1", "j2",
+    ),
+)
+
+
+def _pool_ext_bwd_kernel(
+    x_ref, se_ref, be_ref, ind_ref, kvw_ref, wo_ref, eyej_ref, eyec_ref,
+    gh_ref, macc_ref, sacc_ref,
+    dx_ref, dse_ref, dbe_ref, dqf_ref, dwv_ref, dwo_ref,
+    qf_scratch, dm_scratch, pacc_scratch, tacc_scratch,
+    *, num_heads: int, num_inducers: int, scale_qk: float,
+):
+    """Two passes over the point tiles of one batch element (grid
+    (b, 2, nt)): pass 0 accumulates the softmax-backward inner products
+    t_j = sum_n p*dp and the pooled values (for dwo); pass 1 recomputes the
+    tile forward and emits dx/dse/dbe and the weight-grad accumulators.
+    ``dp``/``dv`` ride a per-batch [J, C] block-placement matrix (dmerged
+    masked per head) so every big matmul stays full-width — no lane
+    slicing, no concats."""
+    pz = pl.program_id(1)
+    ni = pl.program_id(2)
+    nt = pl.num_programs(2)
+    x = x_ref[0]  # [TN, C]
+    c = x.shape[-1]
+    d = c // num_heads
+    i = num_inducers
+
+    first_all = jnp.logical_and(
+        pl.program_id(0) == 0, jnp.logical_and(pz == 0, ni == 0)
+    )
+
+    @pl.when(first_all)
+    def _():
+        dqf_ref[:] = jnp.zeros_like(dqf_ref)
+        dwv_ref[:] = jnp.zeros_like(dwv_ref)
+        dwo_ref[:] = jnp.zeros_like(dwo_ref)
+
+    @pl.when(jnp.logical_and(pz == 0, ni == 0))
+    def _():
+        for h in range(num_heads):
+            wk_h = kvw_ref[h * d : (h + 1) * d, :]
+            ind_h = ind_ref[h * i : (h + 1) * i, :]
+            qf_scratch[:, h * i : (h + 1) * i] = (
+                scale_qk
+                * jax.lax.dot_general(
+                    wk_h, ind_h, (((0,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            ).astype(qf_scratch.dtype)
+        # dmerged = gh @ wo, then per-head block placement into [J, C]:
+        # DM[hI+i, c'] = dmerged[i, c'] if c' in head h's column block else 0
+        gh_b = gh_ref[0]
+        dmerged = jax.lax.dot_general(
+            gh_b, wo_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [I, C]
+        col_head = jax.lax.broadcasted_iota(jnp.int32, (i, c), 1) // d
+        for h in range(num_heads):
+            dm_scratch[h * i : (h + 1) * i, :] = jnp.where(
+                col_head == h, dmerged, 0.0
+            ).astype(dm_scratch.dtype)
+        pacc_scratch[:] = jnp.zeros_like(pacc_scratch)
+        tacc_scratch[:] = jnp.zeros_like(tacc_scratch)
+        dse_ref[0] = jnp.zeros_like(dse_ref[0])
+        dbe_ref[0] = jnp.zeros_like(dbe_ref[0])
+
+    # --- shared tile recompute (identical in both passes)
+    se = se_ref[0]
+    y = (x.astype(jnp.float32) * se + be_ref[0]).astype(x.dtype)
+    s = jax.lax.dot_general(
+        y, qf_scratch[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [TN, J]
+    e = jnp.exp(jnp.maximum(s - macc_ref[0], -80.0))
+    v = jax.lax.dot_general(
+        y, kvw_ref[c : 2 * c, :], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(y.dtype)  # [TN, C]
+    dp = jax.lax.dot_general(
+        v, dm_scratch[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [TN, J]
+
+    @pl.when(pz == 0)
+    def _():
+        tacc_scratch[:] += jnp.sum(e * dp, axis=0, keepdims=True)  # [1, J]
+        e_b = e.astype(y.dtype)
+        for h in range(num_heads):
+            pacc_scratch[h * i : (h + 1) * i, :] += jax.lax.dot_general(
+                e_b[:, h * i : (h + 1) * i], v[:, h * d : (h + 1) * d],
+                (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            )
+
+    @pl.when(jnp.logical_and(pz == 0, ni == nt - 1))
+    def _():
+        inv_s = 1.0 / sacc_ref[0]  # [1, J]
+        inv_col = jax.lax.dot_general(
+            eyej_ref[:], inv_s, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        pnorm = (pacc_scratch[:] * inv_col).astype(y.dtype)  # [J, D]
+        merged = jnp.zeros((i, c), jnp.float32)
+        for h in range(num_heads):
+            merged += jax.lax.dot_general(
+                pnorm[h * i : (h + 1) * i, :], eyec_ref[h * d : (h + 1) * d, :],
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            )
+        dwo_ref[:] += jax.lax.dot_general(
+            gh_ref[0], merged.astype(y.dtype), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [C(out), C(in)]
+        tacc_scratch[:] = tacc_scratch[:] * inv_s  # t = (sum e*dp) / sum e
+
+    @pl.when(pz == 1)
+    def _():
+        inv_s = 1.0 / sacc_ref[0]
+        p = e * inv_s  # [TN, J] fp32
+        ds = p * (dp - tacc_scratch[:])
+        ds_b = ds.astype(y.dtype)
+        p_b = p.astype(y.dtype)
+        dy = jax.lax.dot_general(
+            ds_b, qf_scratch[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [TN, C]
+        dv = jax.lax.dot_general(
+            p_b, dm_scratch[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(y.dtype)  # [TN, C]
+        dy += jax.lax.dot_general(
+            dv, kvw_ref[c : 2 * c, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dx_ref[0] = (dy * se).astype(dx_ref.dtype)
+        dse_ref[0] += jnp.sum(dy * x.astype(jnp.float32), axis=0, keepdims=True)
+        dbe_ref[0] += jnp.sum(dy, axis=0, keepdims=True)
+        dqf_ref[:] += jax.lax.dot_general(
+            y, ds_b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [C, J]
+        dwv_ref[:] += jax.lax.dot_general(
+            dv, y, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [C(out), C(in)]
+
+
+def _pool_ext_bwd_impl(x, se, be, ind2, kvw, wo, g_h0, macc, sacc, num_heads):
+    b, n, c = x.shape
+    j, d = ind2.shape
+    i = j // num_heads
+    tn = min(_pick_tile_n(n), 512)
+    outs = pl.pallas_call(
+        functools.partial(
+            _pool_ext_bwd_kernel,
+            num_heads=num_heads,
+            num_inducers=i,
+            scale_qk=1.0 / (d ** 0.5),
+        ),
+        grid=(b, 2, n // tn),
+        in_specs=[
+            pl.BlockSpec((1, tn, c), lambda bi, pz, ni: (bi, ni, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda bi, pz, ni: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda bi, pz, ni: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((j, d), lambda bi, pz, ni: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * c, c), lambda bi, pz, ni: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, c), lambda bi, pz, ni: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((j, j), lambda bi, pz, ni: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, c), lambda bi, pz, ni: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, i, c), lambda bi, pz, ni: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, j), lambda bi, pz, ni: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, j), lambda bi, pz, ni: (bi, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            # dx is only written in pass 1; during pass 0 the map pins the
+            # (bi, 0) block so no per-tile garbage blocks are flushed
+            pl.BlockSpec((1, tn, c), lambda bi, pz, ni: (bi, pz * ni, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda bi, pz, ni: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda bi, pz, ni: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, j), lambda bi, pz, ni: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, c), lambda bi, pz, ni: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, c), lambda bi, pz, ni: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n, c), x.dtype),
+            jax.ShapeDtypeStruct((b, 1, c), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, c), jnp.float32),
+            jax.ShapeDtypeStruct((c, j), jnp.float32),
+            jax.ShapeDtypeStruct((c, c), jnp.float32),
+            jax.ShapeDtypeStruct((c, c), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((c, j), x.dtype),
+            pltpu.VMEM((j, c), x.dtype),
+            pltpu.VMEM((j, d), jnp.float32),
+            pltpu.VMEM((1, j), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary")
+        ),
+        interpret=_interpret(),
+    )(
+        x, se[:, None, :], be[:, None, :], ind2, kvw, wo, _eye(j),
+        _eye(c, x.dtype), g_h0, macc, sacc,
+    )
+    dx, dse, dbe, dqf, dwv, dwo = outs
+    tie = 0.0 * (dse[0, 0, 0] + dbe[0, 0, 0] + dqf[0, 0] + dwv[0, 0] + dwo[0, 0])
+    dx = dx.at[0, 0, 0].add(tie.astype(dx.dtype))  # in-place DCE tie
+
+    # chain dqf through the fold jacobian (tiny; same algebra as the
+    # resident backward)
+    scale_qk = 1.0 / (d ** 0.5)
+    dqf_r = dqf.reshape(c, num_heads, i)
+    ind_r = ind2.reshape(num_heads, i, d).astype(jnp.float32)
+    kvw_k = kvw[:c].reshape(num_heads, d, c).astype(jnp.float32)
+    dwk = scale_qk * jnp.einsum("chi,hid->hdc", dqf_r, ind_r).reshape(c, c)
+    dind2 = scale_qk * jnp.einsum("chi,hdc->hid", dqf_r, kvw_k).reshape(j, d)
+    dkvw = jnp.concatenate([dwk, dwv], axis=0).astype(kvw.dtype)
+    return (
+        dx,
+        dse[:, 0],
+        dbe[:, 0],
+        dind2.astype(ind2.dtype),
+        dkvw,
+        dwo.astype(wo.dtype),
+    )
+
+
+_pool_ext_bwd_p = custom_partitioning(_pool_ext_bwd_impl, static_argnums=(9,))
+
+
+def _pool_ext_bwd_partition(num_heads, mesh, arg_shapes, result_shape):
+    b = _spec_dim(arg_shapes[0].sharding, 0)
+    x_sh = NamedSharding(mesh, P(b, None, None))
+    vec_sh = NamedSharding(mesh, P(b, None))
+    stat_sh = NamedSharding(mesh, P(b, None, None))
+    w_sh = NamedSharding(mesh, P(None, None))
+
+    def impl(x, se, be, ind2, kvw, wo, g_h0, macc, sacc):
+        outs = _pool_ext_bwd_impl(x, se, be, ind2, kvw, wo, g_h0, macc, sacc, num_heads)
+        dx, dse, dbe, dind2, dkvw, dwo = outs
+        if b is not None:
+            dind2 = jax.lax.psum(dind2, b)
+            dkvw = jax.lax.psum(dkvw, b)
+            dwo = jax.lax.psum(dwo, b)
+        return dx, dse, dbe, dind2, dkvw, dwo
+
+    return (
+        mesh,
+        impl,
+        (x_sh, vec_sh, vec_sh, w_sh, w_sh, w_sh),
+        (x_sh, vec_sh, vec_sh, w_sh, w_sh, w_sh, x_sh, stat_sh, stat_sh),
+    )
+
+
+def _pool_ext_bwd_infer(num_heads, mesh, arg_shapes, result_shape):
+    b = _spec_dim(arg_shapes[0].sharding, 0)
+    x_sh = NamedSharding(mesh, P(b, None, None))
+    vec_sh = NamedSharding(mesh, P(b, None))
+    w_sh = NamedSharding(mesh, P(None, None))
+    return (x_sh, vec_sh, vec_sh, w_sh, w_sh, w_sh)
+
+
+_pool_ext_bwd_p.def_partition(
+    _pool_ext_bwd_partition,
+    infer_sharding_from_operands=_pool_ext_bwd_infer,
+    sharding_rule=(
+        "b n c, b c, b c, j d, e c1, c2 c3, b i c4, b u j1, b u1 j2 "
+        "-> b n c, b c, b c, j d, e c1, c2 c3"
+    ),
+    need_replication_factors=(
+        "n", "c", "j", "d", "e", "c1", "c2", "c3", "i", "c4", "u", "j1",
+        "u1", "j2",
+    ),
+)
+
+
+def _pool_ext_ref(x, se, be, ind2, kvw, wo, num_heads):
+    """XLA twin of ``_pool_ext_impl`` (h0 only)."""
+    y = (x.astype(jnp.float32) * se[:, None, :] + be[:, None, :]).astype(x.dtype)
+    h0, _, _ = _pool_ref(
+        y, jnp.ones_like(se), jnp.zeros_like(be), ind2, kvw, wo, 1, num_heads,
+        prenorm=False,
+    )
+    return h0
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def folded_pool_ext(x, se, be, ind2, kvw, wo, num_heads):
+    """Tiled online-softmax pool: works at any N (no VMEM gate). The
+    pre-norm is external — pass the collapsed ``x * se + be`` affine."""
+    h0, _, _ = _pool_ext_p(x, se, be, ind2, kvw, wo, num_heads)
+    return h0
+
+
+def _pool_ext_fwd(x, se, be, ind2, kvw, wo, num_heads):
+    h0, macc, sacc = _pool_ext_p(x, se, be, ind2, kvw, wo, num_heads)
+    return h0, (x, se, be, ind2, kvw, wo, macc, sacc)
+
+
+def _pool_ext_bwd(num_heads, res, g):
+    x, se, be, ind2, kvw, wo, macc, sacc = res
+    if _twin_bwd("pool"):
+        _, vjp = jax.vjp(
+            lambda *a: _pool_ext_ref(*a, num_heads), x, se, be, ind2, kvw, wo
+        )
+        return vjp(g)
+    # bf16 cotangent truncation is intentional — see the note in _pool_bwd
+    return _pool_ext_bwd_p(
+        x, se, be, ind2, kvw, wo, g.astype(x.dtype), macc, sacc, num_heads
+    )
+
+
+folded_pool_ext.defvjp(_pool_ext_fwd, _pool_ext_bwd)
 
 
 # ---------------------------------------------------------------- unpool --
@@ -838,8 +1363,10 @@ def _unpool_impl(x, se, be, k, v, wq, wo, num_heads, residual=True, prenorm=True
         ),
         interpret=_interpret(),
     )(x, se[:, None, :], be[:, None, :], k, v, wq, wo, block_map(j, num_heads))
-    # tie outputs against pallas-output DCE (axon Mosaic bug)
-    out = out + (0.0 * sums[0, 0, 0]).astype(out.dtype)
+    # tie outputs against pallas-output DCE (axon Mosaic bug); the in-place
+    # single-element form — the old full-tensor `out + 0*sums[0,0,0]` cost a
+    # ~1 ms [B, N, C] elementwise pass per denoiser eval (xprof, round 3)
+    out = out.at[0, 0, 0].add((0.0 * sums[0, 0, 0]).astype(out.dtype))
     return out, sums
 
 
@@ -1050,7 +1577,7 @@ def _unpool_bwd_impl(x, se, be, k, v, wq, wo, g, g_sums, num_heads, residual, pr
     )
     dx, dkf, dvf, dse, dbe = outs
     tie = 0.0 * (dkf[0, 0, 0] + dvf[0, 0, 0] + dse[0, 0, 0] + dbe[0, 0, 0])
-    dx = dx + tie.astype(dx.dtype)
+    dx = dx.at[0, 0, 0].add(tie.astype(dx.dtype))  # in-place DCE tie
 
     # chain the folded-operand cotangents through the fold jacobians (tiny)
     dt = x.dtype
@@ -1378,9 +1905,9 @@ def _mlp_bwd_impl(x, se, be, w1t, b1, w2t, b2, g):
         interpret=_interpret(),
     )(x, se[:, None, :], be[:, None, :], w1t, b1, w2t, b2, g)
     dx, dse, dbe, dw1t, db1, dw2t, db2 = outs
-    # tie outputs against pallas-output DCE (axon Mosaic bug)
+    # tie outputs against pallas-output DCE (axon Mosaic bug) — in-place form
     tie = 0.0 * (dse[0, 0, 0] + dw1t[0, 0] + dw2t[0, 0] + db1[0, 0] + db2[0, 0] + dbe[0, 0, 0])
-    dx = dx + tie.astype(dx.dtype)
+    dx = dx.at[0, 0, 0].add(tie.astype(dx.dtype))
     return (
         dx,
         dse[:, 0],

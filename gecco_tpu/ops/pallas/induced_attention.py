@@ -192,7 +192,7 @@ def _forward_impl(q, k, v):
     # unused pallas_call outputs (e.g. lse in remat's primal pass) and the
     # axon remote-compile helper crashes on the pruned call. A single-element
     # tie keeps the output alive at negligible cost.
-    oT = oT + (0.0 * lse3[0, 0, 0, 0]).astype(oT.dtype)
+    oT = oT.at[0, 0, 0, 0].add((0.0 * lse3[0, 0, 0, 0]).astype(oT.dtype))
     return jnp.swapaxes(oT, -1, -2), lse3[..., 0]
 
 
@@ -329,7 +329,7 @@ def _backward_impl(q, k, v, o, lse, g):
 
     # tie outputs together against pallas-output DCE (see _forward)
     tie = (0.0 * (dkT[0, 0, 0, 0, 0] + dvT[0, 0, 0, 0, 0])).astype(dqT.dtype)
-    dq = jnp.swapaxes(dqT + tie, -1, -2)
+    dq = jnp.swapaxes(dqT.at[(0,) * dqT.ndim].add(tie), -1, -2)
     dk = jnp.swapaxes(dkT.sum(axis=1), -1, -2).astype(k.dtype)
     dv = jnp.swapaxes(dvT.sum(axis=1), -1, -2).astype(v.dtype)
     return dq, dk, dv

@@ -187,7 +187,7 @@ def _lookup_backward_impl(level, coords_hw, g):
 
     # tie outputs against pallas-output DCE (axon Mosaic, see induced_attention)
     tie = (0.0 * (dch[0, 0, 0] + dcw[0, 0, 0])).astype(df.dtype)
-    dlevel = (df + tie).reshape(b, h, w, c).astype(level.dtype)
+    dlevel = df.at[0, 0, 0].add(tie).reshape(b, h, w, c).astype(level.dtype)
     dcoords = jnp.concatenate([dch, dcw], axis=-1).astype(coords_hw.dtype)
     return dlevel, dcoords
 

@@ -480,3 +480,134 @@ def test_folded_pool_pallas_backward_matches_twin():
                 np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5,
                 err_msg=f"arg {i} prenorm={prenorm}",
             )
+
+
+def test_fused_h_side_matches_twin_and_module_path():
+    """fused_h_side (ops/pallas/hside.py): interpret-mode kernel vs its XLA
+    twin, and the whole norm_1 -> MLP -> norm_2 -> k/v chain vs the plain
+    module composition; gradients against the twin."""
+    from gecco_tpu.models.set_transformer import Broadcast, _fold_mlp_operands
+    from gecco_tpu.ops.pallas.folded_attention import group_indicator
+    from gecco_tpu.ops.pallas.hside import _hside_ref, fused_h_side
+
+    c, w, i, b = 64, 128, 8, 3
+    bc = Broadcast.init(
+        jax.random.PRNGKey(0), c, num_inducers=i, embed_dim=32, num_heads=4
+    )
+    h0 = jax.random.normal(jax.random.PRNGKey(1), (b, i, c))
+    embed = jax.random.normal(jax.random.PRNGKey(2), (b, 32))
+    ef = embed.astype(jnp.float32)
+
+    w1t, b1, w2t, b2 = _fold_mlp_operands(bc.mlp, h0.dtype)
+    args = (
+        h0,
+        bc.norm_1.scale_linear(ef), bc.norm_1.bias_linear(ef),
+        bc.norm_2.scale_linear(ef), bc.norm_2.bias_linear(ef),
+        group_indicator(c, bc.norm_1.num_groups),
+        w1t, b1, w2t, b2,
+        bc.unpool.k_proj.weight, bc.unpool.v_proj.weight,
+    )
+    out_k = fused_h_side(*args)
+    out_t = _hside_ref(*args)
+    for a, t in zip(out_k, out_t):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(t), rtol=1e-4, atol=1e-5)
+
+    # module-path reference: norm_1 -> mlp -> norm_2 -> k/v projections
+    hh = bc.norm_2(bc.mlp(bc.norm_1(h0, embed)), embed)
+    np.testing.assert_allclose(np.asarray(out_k[0]), np.asarray(hh), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(out_k[1]), np.asarray(hh @ bc.unpool.k_proj.weight.T),
+        rtol=1e-4, atol=1e-5,
+    )
+
+    def loss(fn):
+        return lambda *a: sum((o.astype(jnp.float32) ** 2).sum() for o in fn(*a))
+
+    ga = jax.grad(loss(fused_h_side), argnums=(0, 1, 6, 8, 10))(*args)
+    gb = jax.grad(loss(_hside_ref), argnums=(0, 1, 6, 8, 10))(*args)
+    for a, t in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(t), rtol=2e-3, atol=2e-4)
+
+
+def test_folded_pool_ext_matches_ref():
+    """Tiled online-softmax pool (folded_pool_ext): forward vs the XLA twin
+    at a multi-tile point count, and gradients through the tiled backward
+    kernel vs the twin."""
+    from gecco_tpu.ops.pallas import folded_attention as fa
+
+    c, heads, i, b, n = 96, 4, 16, 2, 384  # 384 = 3 x 128 tiles
+    key = iter(jax.random.split(jax.random.PRNGKey(0), 10))
+    x = jax.random.normal(next(key), (b, n, c))
+    se = 1.0 + 0.1 * jax.random.normal(next(key), (b, c))
+    be = 0.1 * jax.random.normal(next(key), (b, c))
+    ind2 = jax.random.normal(next(key), (heads * i, c // heads))
+    kvw = jax.random.normal(next(key), (2 * c, c)) / c**0.5
+    wo = jax.random.normal(next(key), (c, c)) / c**0.5
+
+    args = (x, se, be, ind2, kvw, wo)
+    out = fa.folded_pool_ext(*args, heads)
+    ref = fa._pool_ext_ref(*args, heads)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+    def loss(fn):
+        return lambda *a: (fn(*a, heads).astype(jnp.float32) ** 2).sum()
+
+    ga = jax.grad(loss(fa.folded_pool_ext), argnums=(0, 1, 2, 3, 4, 5))(*args)
+    gb = jax.grad(loss(fa._pool_ext_ref), argnums=(0, 1, 2, 3, 4, 5))(*args)
+    for a, t in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(t), rtol=2e-3, atol=2e-4)
+
+
+def test_folded_pool_bwd_ext_decomposition(monkeypatch):
+    """When the resident pool backward exceeds VMEM, folded_pool_layer's vjp
+    decomposes into XLA stats + the tiled ext kernels — must match the
+    resident backward (forced at small shapes via the gate)."""
+    from gecco_tpu.ops.pallas import folded_attention as fa
+
+    c, heads, i, b, n = 64, 4, 8, 2, 128
+    key = iter(jax.random.split(jax.random.PRNGKey(1), 10))
+    x = jax.random.normal(next(key), (b, n, c))
+    scale = 1.0 + 0.1 * jax.random.normal(next(key), (b, c))
+    bias = 0.1 * jax.random.normal(next(key), (b, c))
+    ind2 = jax.random.normal(next(key), (heads * i, c // heads))
+    kvw = jax.random.normal(next(key), (2 * c, c)) / c**0.5
+    wo = jax.random.normal(next(key), (c, c)) / c**0.5
+    gind = fa.group_indicator(c, 16)
+
+    def loss(*a):
+        h0, mean, inv = fa.folded_pool_layer(*a, heads, True)
+        return (h0.astype(jnp.float32) ** 2).sum() + (mean * inv).sum()
+
+    args = (x, scale, bias, ind2, kvw, wo, gind)
+    g_resident = jax.grad(loss, argnums=(0, 1, 2, 3, 4, 5))(*args)
+    monkeypatch.setattr(fa, "pool_bwd_vmem_ok", lambda *a, **k: False)
+    g_ext = jax.grad(loss, argnums=(0, 1, 2, 3, 4, 5))(*args)
+    for a, t in zip(jax.tree.leaves(g_resident), jax.tree.leaves(g_ext)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(t), rtol=2e-3, atol=2e-4)
+
+
+def test_fused_8k_path_uses_tiled_pool(monkeypatch):
+    """The big-N fallback in BroadcastingLayer._fused_call routes through
+    folded_pool_ext (forced via the fwd gate) and matches the plain path."""
+    from gecco_tpu.models.set_transformer import SetTransformer
+    from gecco_tpu.ops.pallas import folded_attention as fa
+
+    st_x = SetTransformer.init(
+        jax.random.PRNGKey(0), n_layers=2, feature_dim=64, num_inducers=8,
+        embed_dim=32, num_heads=4, compute_dtype=jnp.float32, attn_impl="xla",
+    )
+    st_p = st_x.replace(attn_impl="folded_pallas")
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 256, 64))
+    embed = jax.random.normal(jax.random.PRNGKey(2), (2, 32))
+    ref = st_x(x, embed)
+    # _fused_call re-imports pool_vmem_ok at call time, so patching the
+    # module attribute forces the tiled branch at this small shape
+    monkeypatch.setattr(fa, "pool_vmem_ok", lambda *a, **k: False)
+    out = st_p(x, embed)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+    # gradients through the forced-tiled path stay finite and close to xla
+    g = jax.grad(lambda m, xx: (m(xx, embed).astype(jnp.float32) ** 2).sum())(st_p, x)
+    gx = jax.grad(lambda m, xx: (m(xx, embed).astype(jnp.float32) ** 2).sum())(st_x, x)
+    for a, t in zip(jax.tree.leaves(g), jax.tree.leaves(gx)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(t), rtol=5e-3, atol=5e-4)
