@@ -298,10 +298,18 @@ class BroadcastingLayer:
         attn_impl: str = "xla",
         key: Optional[jax.Array] = None,
         mlp_on_unnormed: bool = False,
-    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        in_sums: Optional[jnp.ndarray] = None,
+        with_sums: bool = False,
+    ):
+        """``in_sums``/``with_sums`` thread the free-statistics chain of the
+        fused path: ``in_sums`` is the [B, 2, C] channel sums of ``x`` (so
+        the pool pre-norm needs no stats pass over the stream) and
+        ``with_sums=True`` additionally returns the sums of the layer's
+        output (emitted by the fused MLP kernel) for the next layer."""
         bkey, mkey = (None, None) if key is None else jax.random.split(key)
         if attn_impl == "folded_pallas":
-            return self._fused_call(x, embed, h, bkey, mkey, mlp_on_unnormed)
+            out = self._fused_call(x, embed, h, bkey, mkey, mlp_on_unnormed, in_sums)
+            return out if with_sums else out[:2]
         y = self.broadcast_norm(x, embed)
         x_b, h = self.broadcast(y, embed, h=h, attn_impl=attn_impl, key=bkey)
         x = x + x_b
@@ -312,7 +320,7 @@ class BroadcastingLayer:
         # default — use the normed stream. ``mlp_on_unnormed=True``
         # reproduces the jax behavior bit-for-bit for checkpoint parity.
         x = x + self.mlp(x if mlp_on_unnormed else y, key=mkey)
-        return x, h
+        return (x, h, None) if with_sums else (x, h)
 
     def _fused_call(
         self,
@@ -322,7 +330,8 @@ class BroadcastingLayer:
         bkey: Optional[jax.Array],
         mkey: Optional[jax.Array],
         mlp_on_unnormed: bool,
-    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        in_sums: Optional[jnp.ndarray] = None,
+    ):
         """The whole layer through the three fused Pallas megakernels
         (ops/pallas/folded_attention.py): pool+pre-norm, unpool+pre-norm+
         residual+output-stats, pre-norm+MLP+residual. Same function as the
@@ -344,39 +353,53 @@ class BroadcastingLayer:
         embed_f = embed.astype(jnp.float32)
 
         if h is None:
-            scale1 = self.broadcast_norm.scale_linear(embed_f)  # [B, C] fp32
-            bias1 = self.broadcast_norm.bias_linear(embed_f)
             ind2 = inducers.reshape(num_heads * n_ind, c // num_heads).astype(dt)
             kvw = bc.pool.kv_proj.weight.astype(dt)
             wo_p = bc.pool.out_proj.weight.astype(dt)
-            # the resident kernel (stats in-kernel, single pass) is fastest
-            # for inference; training (a network key is threaded) and
-            # VMEM-exceeding point counts (the 8k config) route through the
-            # tiled online-softmax kernel with XLA stats — its custom_vjp
-            # backward reuses the saved softmax statistics instead of the
-            # resident path's forward recompute, and it has no VMEM gate
-            use_ext = (bkey is not None) or not pool_vmem_ok(
-                n, c, num_heads * n_ind, jnp.dtype(dt).itemsize
-            )
-            if not use_ext:
-                h0, mean_c, inv_c = folded_pool_layer(
-                    x, scale1, bias1, ind2, kvw, wo_p,
-                    group_indicator(c, self.broadcast_norm.num_groups),
-                    num_heads, True,
-                )
-            else:
-                from gecco_tpu.ops.norms import group_norm_stats
+            if in_sums is not None:
+                # free-statistics chain: the previous layer's MLP kernel (or
+                # the one-time XLA pass before the scan) already emitted the
+                # channel sums of x — no stats pass over the stream at all,
+                # and the tiled kernel has no VMEM gate
                 from gecco_tpu.ops.pallas.folded_attention import folded_pool_ext
 
-                mean_c, inv_c = group_norm_stats(
-                    x, num_groups=self.broadcast_norm.num_groups
+                se1, be1 = self.broadcast_norm.scale_bias_from_sums(
+                    in_sums, n, embed
                 )
-                h0 = folded_pool_ext(
-                    x, scale1 * inv_c, bias1 - mean_c * (scale1 * inv_c),
-                    ind2, kvw, wo_p, num_heads,
+                h0 = folded_pool_ext(x, se1, be1, ind2, kvw, wo_p, num_heads)
+            else:
+                scale1 = self.broadcast_norm.scale_linear(embed_f)  # [B, C]
+                bias1 = self.broadcast_norm.bias_linear(embed_f)
+                # the resident kernel (stats in-kernel, single pass) serves
+                # sums-less inference; training (a network key is threaded)
+                # and VMEM-exceeding point counts (the 8k config) route
+                # through the tiled online-softmax kernel with XLA stats —
+                # its custom_vjp backward reuses the saved softmax statistics
+                # instead of the resident path's forward recompute
+                use_ext = (bkey is not None) or not pool_vmem_ok(
+                    n, c, num_heads * n_ind, jnp.dtype(dt).itemsize
                 )
-            se1 = scale1 * inv_c
-            be1 = bias1 - mean_c * se1
+                if not use_ext:
+                    h0, mean_c, inv_c = folded_pool_layer(
+                        x, scale1, bias1, ind2, kvw, wo_p,
+                        group_indicator(c, self.broadcast_norm.num_groups),
+                        num_heads, True,
+                    )
+                else:
+                    from gecco_tpu.ops.norms import group_norm_stats
+                    from gecco_tpu.ops.pallas.folded_attention import (
+                        folded_pool_ext,
+                    )
+
+                    mean_c, inv_c = group_norm_stats(
+                        x, num_groups=self.broadcast_norm.num_groups
+                    )
+                    h0 = folded_pool_ext(
+                        x, scale1 * inv_c, bias1 - mean_c * (scale1 * inv_c),
+                        ind2, kvw, wo_p, num_heads,
+                    )
+                se1 = scale1 * inv_c
+                be1 = bias1 - mean_c * se1
             hside_fusable = (
                 _mlp_fusable(bc.mlp, bkey)
                 and isinstance(bc.norm_1, AdaGN)
@@ -423,7 +446,7 @@ class BroadcastingLayer:
 
         if not _mlp_fusable(self.mlp, mkey):
             y2 = x if mlp_on_unnormed else self.mlp_norm(x, embed)
-            return x + self.mlp(y2, key=mkey), h
+            return x + self.mlp(y2, key=mkey), h, None
 
         if mlp_on_unnormed:
             se2 = jnp.ones((b, c), jnp.float32)
@@ -432,8 +455,8 @@ class BroadcastingLayer:
             se2, be2 = self.mlp_norm.scale_bias_from_sums(sums, n, embed)
 
         w1t, b1, w2t, b2 = _fold_mlp_operands(self.mlp, dt)
-        x = fused_mlp_residual(x, se2, be2, w1t, b1, w2t, b2)
-        return x, h
+        x, out_sums = fused_mlp_residual(x, se2, be2, w1t, b1, w2t, b2)
+        return x, h, out_sums
 
 
 @module
@@ -515,30 +538,66 @@ class SetTransformer:
         impl = self.attn_impl
 
         unnormed = self.ref_jax_compat
+        # free-statistics chain (fused path): every layer's pool pre-norm
+        # consumes the channel sums of its input, emitted by the previous
+        # layer's fused MLP kernel — only layer 0's sums cost an XLA pass.
+        # The sums ride the scan carry next to the stream itself.
+        chain_sums = impl == "folded_pallas" and _mlp_fusable(
+            self.layers.mlp, key
+        ) and all(
+            isinstance(nrm, AdaGN)
+            for nrm in (
+                self.layers.broadcast_norm,
+                self.layers.mlp_norm,
+                self.layers.broadcast.norm_1,
+                self.layers.broadcast.norm_2,
+            )
+        ) and _mlp_fusable(self.layers.broadcast.mlp, key)
+
         if hs is None:
+            if chain_sums:
+                xf = x.astype(jnp.float32)
+                sums0 = jnp.stack([xf.sum(axis=1), (xf * xf).sum(axis=1)], axis=1)
+                carry0 = (x, sums0)
+            else:
+                carry0 = x
+
+            def call_layer(carry, layer, k):
+                if chain_sums:
+                    xc, in_sums = carry
+                    xc, h, out_sums = layer(
+                        xc, embed, attn_impl=impl, key=k,
+                        mlp_on_unnormed=unnormed, in_sums=in_sums,
+                        with_sums=True,
+                    )
+                    return (xc, out_sums), h
+                xc, h = layer(
+                    carry, embed, attn_impl=impl, key=k, mlp_on_unnormed=unnormed
+                )
+                return xc, h
+
             if key is not None:
                 # one dropout key per layer, threaded as a scanned input
                 layer_keys = jax.random.split(key, self.n_layers)
 
-                def body(x, layer_and_key):
+                def body(carry, layer_and_key):
                     layer, k = layer_and_key
-                    x, h = layer(
-                        x, embed, attn_impl=impl, key=k, mlp_on_unnormed=unnormed
-                    )
-                    return x, (h if return_h else None)
+                    carry, h = call_layer(carry, layer, k)
+                    return carry, (h if return_h else None)
 
                 xs = (self.layers, layer_keys)
             else:
 
-                def body(x, layer):
-                    x, h = layer(x, embed, attn_impl=impl, mlp_on_unnormed=unnormed)
-                    return x, (h if return_h else None)
+                def body(carry, layer):
+                    carry, h = call_layer(carry, layer, None)
+                    return carry, (h if return_h else None)
 
                 xs = self.layers
 
             if self.remat:
                 body = jax.checkpoint(body)
-            x, stored = jax.lax.scan(body, x, xs)
+            carry, stored = jax.lax.scan(body, carry0, xs)
+            x = carry[0] if chain_sums else carry
         else:
 
             def body_cached(x, layer_and_h):

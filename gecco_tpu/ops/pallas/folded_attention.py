@@ -157,14 +157,33 @@ def _pick_tile_n(n: int) -> int:
     return n
 
 
+def _fold_qf(ind2, kvw, num_heads: int) -> jnp.ndarray:
+    """[C, J] folded pool query operand: qf[c, hI+i] = s·sum_d Wk[hD+d, c]
+    ind2[hI+i, d]. Batch-independent, so it is computed ONCE per layer in
+    XLA (tiny) instead of per grid step inside the kernels — the in-kernel
+    fold cost 8 narrow matmuls + lane-slice scratch writes per batch
+    element."""
+    j, d = ind2.shape
+    c = kvw.shape[1]
+    scale_qk = 1.0 / (d ** 0.5)
+    i = j // num_heads
+    return (
+        scale_qk
+        * jnp.einsum(
+            "hdc,hid->chi",
+            kvw[:c].reshape(num_heads, d, c).astype(jnp.float32),
+            ind2.reshape(num_heads, i, d).astype(jnp.float32),
+        ).reshape(c, j)
+    ).astype(kvw.dtype)
+
+
 # ------------------------------------------------------------------ pool --
 
 
 def _pool_kernel(
-    x_ref, scale_ref, bias_ref, ind_ref, kvw_ref, wo_ref, gind_ref,
+    x_ref, scale_ref, bias_ref, qf_ref, kvw_ref, wo_ref, gind_ref,
     h0_ref, mean_ref, inv_ref,
-    qf_scratch,
-    *, num_heads: int, num_inducers: int, scale_qk: float, prenorm: bool,
+    *, num_heads: int, num_inducers: int, prenorm: bool,
 ):
     xf = x_ref[0].astype(jnp.float32)  # [N, C]
     n, c = xf.shape
@@ -204,21 +223,8 @@ def _pool_kernel(
         inv_ref[0] = jnp.ones_like(inv_ref[0])
         y = x_ref[0]
 
-    # fold the k-projection against the learnable queries, head by head,
-    # into VMEM scratch: qf[:, hI:(h+1)I] = scale * Wk_h^T @ ind_h^T
-    for h in range(num_heads):
-        wk_h = kvw_ref[h * d : (h + 1) * d, :]  # [D, C] rows of the kv weight
-        ind_h = ind_ref[h * i : (h + 1) * i, :]  # [I, D]
-        qf_scratch[:, h * i : (h + 1) * i] = (
-            scale_qk
-            * jax.lax.dot_general(
-                wk_h, ind_h, (((0,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-        ).astype(qf_scratch.dtype)
-
     s = jax.lax.dot_general(
-        y, qf_scratch[:], (((1,), (0,)), ((), ())),
+        y, qf_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [N, J]; softmax over the POINT axis per (head, inducer) column
     m = jnp.max(s, axis=0, keepdims=True)
@@ -268,12 +274,12 @@ def _pool_impl(x, scale, bias, ind2, kvw, wo, gind, num_heads, prenorm=True):
     b, n, c = x.shape
     j, d = ind2.shape
     i = j // num_heads
+    qf = _fold_qf(ind2, kvw, num_heads).astype(x.dtype)
     h0, mean_c, inv_c = pl.pallas_call(
         functools.partial(
             _pool_kernel,
             num_heads=num_heads,
             num_inducers=i,
-            scale_qk=1.0 / (d ** 0.5),
             prenorm=prenorm,
         ),
         grid=(b,),
@@ -281,7 +287,7 @@ def _pool_impl(x, scale, bias, ind2, kvw, wo, gind, num_heads, prenorm=True):
             pl.BlockSpec((1, n, c), lambda bi: (bi, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, c), lambda bi: (bi, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, c), lambda bi: (bi, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((j, d), lambda bi: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, j), lambda bi: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((2 * c, c), lambda bi: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((c, c), lambda bi: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(gind.shape, lambda bi: (0, 0), memory_space=pltpu.VMEM),
@@ -296,10 +302,9 @@ def _pool_impl(x, scale, bias, ind2, kvw, wo, gind, num_heads, prenorm=True):
             jax.ShapeDtypeStruct((b, 1, c), jnp.float32),
             jax.ShapeDtypeStruct((b, 1, c), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((c, j), x.dtype)],
         compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel",)),
         interpret=_interpret(),
-    )(x, scale[:, None, :], bias[:, None, :], ind2, kvw, wo, gind)
+    )(x, scale[:, None, :], bias[:, None, :], qf, kvw, wo, gind)
     mean_c = mean_c[:, 0]
     inv_c = inv_c[:, 0]
     # tie outputs together against pallas-output DCE (axon Mosaic bug);
@@ -346,11 +351,10 @@ _pool_p.def_partition(
 
 
 def _pool_bwd_kernel(
-    x_ref, scale_ref, bias_ref, ind_ref, kvw_ref, wo_ref, gind_ref,
+    x_ref, scale_ref, bias_ref, qf_ref, kvw_ref, wo_ref, gind_ref,
     gh_ref, gm_ref, gi_ref,
     dx_ref, dscale_ref, dbias_ref, dqf_ref, dwv_ref, dwo_ref,
-    qf_scratch,
-    *, num_heads: int, num_inducers: int, scale_qk: float, prenorm: bool,
+    *, num_heads: int, num_inducers: int, prenorm: bool,
 ):
     """Backward of the pool layer-side: full forward recompute per batch
     element in VMEM (everything is resident — softmax is over the point
@@ -401,19 +405,8 @@ def _pool_bwd_kernel(
         dwv_ref[:] = jnp.zeros_like(dwv_ref)
         dwo_ref[:] = jnp.zeros_like(dwo_ref)
 
-    for h in range(num_heads):
-        wk_h = kvw_ref[h * d : (h + 1) * d, :]
-        ind_h = ind_ref[h * i : (h + 1) * i, :]
-        qf_scratch[:, h * i : (h + 1) * i] = (
-            scale_qk
-            * jax.lax.dot_general(
-                wk_h, ind_h, (((0,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-        ).astype(qf_scratch.dtype)
-
     s = jax.lax.dot_general(
-        y, qf_scratch[:], (((1,), (0,)), ((), ())),
+        y, qf_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [N, J]
     m = jnp.max(s, axis=0, keepdims=True)
@@ -475,7 +468,7 @@ def _pool_bwd_kernel(
         ds_h = (p_h * (dp_h - t_h)).astype(y.dtype)  # [N, I]
         # s = y @ qf
         dy += jax.lax.dot_general(
-            ds_h, qf_scratch[:, h * i : (h + 1) * i], (((1,), (1,)), ((), ())),
+            ds_h, qf_ref[:, h * i : (h + 1) * i], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         dqf_ref[:, h * i : (h + 1) * i] += jax.lax.dot_general(
@@ -527,12 +520,12 @@ def _pool_bwd_impl(x, scale, bias, ind2, kvw, wo, gind, g_h0, g_mean, g_inv, num
     b, n, c = x.shape
     j, d = ind2.shape
     i = j // num_heads
+    qf = _fold_qf(ind2, kvw, num_heads).astype(x.dtype)
     outs = pl.pallas_call(
         functools.partial(
             _pool_bwd_kernel,
             num_heads=num_heads,
             num_inducers=i,
-            scale_qk=1.0 / (d ** 0.5),
             prenorm=prenorm,
         ),
         grid=(b,),
@@ -540,7 +533,7 @@ def _pool_bwd_impl(x, scale, bias, ind2, kvw, wo, gind, g_h0, g_mean, g_inv, num
             pl.BlockSpec((1, n, c), lambda bi: (bi, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, c), lambda bi: (bi, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, c), lambda bi: (bi, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((j, d), lambda bi: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, j), lambda bi: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((2 * c, c), lambda bi: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((c, c), lambda bi: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(gind.shape, lambda bi: (0, 0), memory_space=pltpu.VMEM),
@@ -564,11 +557,10 @@ def _pool_bwd_impl(x, scale, bias, ind2, kvw, wo, gind, g_h0, g_mean, g_inv, num
             jax.ShapeDtypeStruct((c, c), jnp.float32),
             jax.ShapeDtypeStruct((c, c), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((c, j), x.dtype)],
         compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
         interpret=_interpret(),
     )(
-        x, scale[:, None, :], bias[:, None, :], ind2, kvw, wo, gind,
+        x, scale[:, None, :], bias[:, None, :], qf, kvw, wo, gind,
         g_h0, g_mean[:, None, :], g_inv[:, None, :],
     )
     dx, dscale, dbias, dqf, dwv, dwo = outs
@@ -789,10 +781,10 @@ def _eye(n: int, dtype=jnp.float32) -> jnp.ndarray:
 
 
 def _pool_ext_kernel(
-    x_ref, se_ref, be_ref, ind_ref, kvw_ref, wo_ref, eyej_ref,
+    x_ref, se_ref, be_ref, qf_ref, kvw_ref, wo_ref, eyej_ref,
     h0_ref, macc_ref, sacc_ref,
-    qf_scratch, pacc_scratch,
-    *, num_heads: int, num_inducers: int, scale_qk: float,
+    pacc_scratch,
+    *, num_heads: int, num_inducers: int,
 ):
     ni = pl.program_id(1)
     nt = pl.num_programs(1)
@@ -803,23 +795,13 @@ def _pool_ext_kernel(
 
     @pl.when(ni == 0)
     def _():
-        for h in range(num_heads):
-            wk_h = kvw_ref[h * d : (h + 1) * d, :]
-            ind_h = ind_ref[h * i : (h + 1) * i, :]
-            qf_scratch[:, h * i : (h + 1) * i] = (
-                scale_qk
-                * jax.lax.dot_general(
-                    wk_h, ind_h, (((0,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-            ).astype(qf_scratch.dtype)
         macc_ref[0] = jnp.full_like(macc_ref[0], -3.0e38)
         sacc_ref[0] = jnp.zeros_like(sacc_ref[0])
         pacc_scratch[:] = jnp.zeros_like(pacc_scratch)
 
     y = (x.astype(jnp.float32) * se_ref[0] + be_ref[0]).astype(x.dtype)
     s = jax.lax.dot_general(
-        y, qf_scratch[:], (((1,), (0,)), ((), ())),
+        y, qf_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [TN, J]
     tile_max = jnp.max(s, axis=0, keepdims=True)  # full-width sublane reduce
@@ -870,19 +852,19 @@ def _pool_ext_impl(x, se, be, ind2, kvw, wo, num_heads):
     j, d = ind2.shape
     i = j // num_heads
     tn = min(_pick_tile_n(n), 1024)
+    qf = _fold_qf(ind2, kvw, num_heads).astype(x.dtype)
     h0, macc, sacc = pl.pallas_call(
         functools.partial(
             _pool_ext_kernel,
             num_heads=num_heads,
             num_inducers=i,
-            scale_qk=1.0 / (d ** 0.5),
         ),
         grid=(b, n // tn),
         in_specs=[
             pl.BlockSpec((1, tn, c), lambda bi, ni: (bi, ni, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, c), lambda bi, ni: (bi, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, c), lambda bi, ni: (bi, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((j, d), lambda bi, ni: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, j), lambda bi, ni: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((2 * c, c), lambda bi, ni: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((c, c), lambda bi, ni: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((j, j), lambda bi, ni: (0, 0), memory_space=pltpu.VMEM),
@@ -897,15 +879,12 @@ def _pool_ext_impl(x, se, be, ind2, kvw, wo, num_heads):
             jax.ShapeDtypeStruct((b, 1, j), jnp.float32),
             jax.ShapeDtypeStruct((b, 1, j), jnp.float32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((c, j), x.dtype),
-            pltpu.VMEM((j, d), jnp.float32),
-        ],
+        scratch_shapes=[pltpu.VMEM((j, d), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")
         ),
         interpret=_interpret(),
-    )(x, se[:, None, :], be[:, None, :], ind2, kvw, wo, _eye(j))
+    )(x, se[:, None, :], be[:, None, :], qf, kvw, wo, _eye(j))
     # tie outputs against pallas-output DCE (axon Mosaic bug), in-place form
     h0 = h0.at[0, 0, 0].add(
         (0.0 * (macc[0, 0, 0] + sacc[0, 0, 0])).astype(h0.dtype)
@@ -948,11 +927,11 @@ _pool_ext_p.def_partition(
 
 
 def _pool_ext_bwd_kernel(
-    x_ref, se_ref, be_ref, ind_ref, kvw_ref, wo_ref, eyej_ref, eyec_ref,
+    x_ref, se_ref, be_ref, qf_ref, kvw_ref, wo_ref, eyej_ref, eyec_ref,
     gh_ref, macc_ref, sacc_ref,
     dx_ref, dse_ref, dbe_ref, dqf_ref, dwv_ref, dwo_ref,
-    qf_scratch, dm_scratch, pacc_scratch, tacc_scratch,
-    *, num_heads: int, num_inducers: int, scale_qk: float,
+    dm_scratch, pacc_scratch, tacc_scratch,
+    *, num_heads: int, num_inducers: int,
 ):
     """Two passes over the point tiles of one batch element (grid
     (b, 2, nt)): pass 0 accumulates the softmax-backward inner products
@@ -981,16 +960,6 @@ def _pool_ext_bwd_kernel(
 
     @pl.when(jnp.logical_and(pz == 0, ni == 0))
     def _():
-        for h in range(num_heads):
-            wk_h = kvw_ref[h * d : (h + 1) * d, :]
-            ind_h = ind_ref[h * i : (h + 1) * i, :]
-            qf_scratch[:, h * i : (h + 1) * i] = (
-                scale_qk
-                * jax.lax.dot_general(
-                    wk_h, ind_h, (((0,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-            ).astype(qf_scratch.dtype)
         # dmerged = gh @ wo, then per-head block placement into [J, C]:
         # DM[hI+i, c'] = dmerged[i, c'] if c' in head h's column block else 0
         gh_b = gh_ref[0]
@@ -1012,7 +981,7 @@ def _pool_ext_bwd_kernel(
     se = se_ref[0]
     y = (x.astype(jnp.float32) * se + be_ref[0]).astype(x.dtype)
     s = jax.lax.dot_general(
-        y, qf_scratch[:], (((1,), (0,)), ((), ())),
+        y, qf_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [TN, J]
     e = jnp.exp(jnp.maximum(s - macc_ref[0], -80.0))
@@ -1063,7 +1032,7 @@ def _pool_ext_bwd_kernel(
         ds_b = ds.astype(y.dtype)
         p_b = p.astype(y.dtype)
         dy = jax.lax.dot_general(
-            ds_b, qf_scratch[:], (((1,), (1,)), ((), ())),
+            ds_b, qf_ref[:], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [TN, C]
         dv = jax.lax.dot_general(
@@ -1090,19 +1059,19 @@ def _pool_ext_bwd_impl(x, se, be, ind2, kvw, wo, g_h0, macc, sacc, num_heads):
     j, d = ind2.shape
     i = j // num_heads
     tn = min(_pick_tile_n(n), 512)
+    qf = _fold_qf(ind2, kvw, num_heads).astype(x.dtype)
     outs = pl.pallas_call(
         functools.partial(
             _pool_ext_bwd_kernel,
             num_heads=num_heads,
             num_inducers=i,
-            scale_qk=1.0 / (d ** 0.5),
         ),
         grid=(b, 2, n // tn),
         in_specs=[
             pl.BlockSpec((1, tn, c), lambda bi, pz, ni: (bi, ni, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, c), lambda bi, pz, ni: (bi, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, c), lambda bi, pz, ni: (bi, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((j, d), lambda bi, pz, ni: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, j), lambda bi, pz, ni: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((2 * c, c), lambda bi, pz, ni: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((c, c), lambda bi, pz, ni: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((j, j), lambda bi, pz, ni: (0, 0), memory_space=pltpu.VMEM),
@@ -1130,7 +1099,6 @@ def _pool_ext_bwd_impl(x, se, be, ind2, kvw, wo, g_h0, macc, sacc, num_heads):
             jax.ShapeDtypeStruct((c, c), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((c, j), x.dtype),
             pltpu.VMEM((j, c), x.dtype),
             pltpu.VMEM((j, d), jnp.float32),
             pltpu.VMEM((1, j), jnp.float32),
@@ -1140,7 +1108,7 @@ def _pool_ext_bwd_impl(x, se, be, ind2, kvw, wo, g_h0, macc, sacc, num_heads):
         ),
         interpret=_interpret(),
     )(
-        x, se[:, None, :], be[:, None, :], ind2, kvw, wo, _eye(j),
+        x, se[:, None, :], be[:, None, :], qf, kvw, wo, _eye(j),
         _eye(c, x.dtype), g_h0, macc, sacc,
     )
     dx, dse, dbe, dqf, dwv, dwo = outs
@@ -1732,7 +1700,10 @@ folded_unpool.defvjp(_unpool_fwd, _unpool_bwd)
 # ------------------------------------------------------------- fused mlp --
 
 
-def _mlp_kernel(x_ref, se_ref, be_ref, w1t_ref, b1_ref, w2t_ref, b2_ref, o_ref):
+def _mlp_kernel(
+    x_ref, se_ref, be_ref, w1t_ref, b1_ref, w2t_ref, b2_ref, o_ref, sums_ref
+):
+    ni = pl.program_id(1)
     x = x_ref[0]  # [TN, C]
     y = (x.astype(jnp.float32) * se_ref[0] + be_ref[0]).astype(x.dtype)
     h = jax.lax.dot_general(
@@ -1742,16 +1713,28 @@ def _mlp_kernel(x_ref, se_ref, be_ref, w1t_ref, b1_ref, w2t_ref, b2_ref, o_ref):
     out = jax.lax.dot_general(
         g, w2t_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     ) + b2_ref[:]
-    o_ref[0] = (x.astype(jnp.float32) + out).astype(o_ref.dtype)
+    o = x.astype(jnp.float32) + out
+    o_ref[0] = o.astype(o_ref.dtype)
+
+    # accumulate s1/s2 of the OUTPUT — the next layer's pool pre-norm gets
+    # its GroupNorm statistics for free (same pattern as the unpool kernel)
+    @pl.when(ni == 0)
+    def _():
+        sums_ref[0] = jnp.zeros_like(sums_ref[0])
+
+    s1 = jnp.sum(o, axis=0, keepdims=True)  # [1, C] fp32
+    s2 = jnp.sum(o * o, axis=0, keepdims=True)
+    sums_ref[0] += jnp.concatenate([s1, s2], axis=0)  # [2, C]
 
 
 def _mlp_impl(x, se, be, w1t, b1, w2t, b2):
     """x [B,N,C]; w1t [C,W], b1 [1,W] (alpha-folded); w2t [W,C], b2 [1,C]
-    (normalized-activation-folded) -> x + mlp(x * se + be)."""
+    (normalized-activation-folded) -> (x + mlp(x * se + be),
+    output channel sums [B, 2, C] fp32)."""
     b, n, c = x.shape
     w = w1t.shape[-1]
     tn = _pick_tile_n(n)
-    return pl.pallas_call(
+    out, sums = pl.pallas_call(
         _mlp_kernel,
         grid=(b, n // tn),
         in_specs=[
@@ -1763,15 +1746,22 @@ def _mlp_impl(x, se, be, w1t, b1, w2t, b2):
             pl.BlockSpec((w, c), lambda bi, ni: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c), lambda bi, ni: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (1, tn, c), lambda bi, ni: (bi, ni, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((b, n, c), x.dtype),
+        out_specs=[
+            pl.BlockSpec((1, tn, c), lambda bi, ni: (bi, ni, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, c), lambda bi, ni: (bi, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n, c), x.dtype),
+            jax.ShapeDtypeStruct((b, 2, c), jnp.float32),
+        ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")
         ),
         interpret=_interpret(),
     )(x, se[:, None, :], be[:, None, :], w1t, b1, w2t, b2)
+    # tie outputs against pallas-output DCE (axon Mosaic bug), in-place form
+    out = out.at[0, 0, 0].add((0.0 * sums[0, 0, 0]).astype(out.dtype))
+    return out, sums
 
 
 _mlp_p = custom_partitioning(_mlp_impl)
@@ -1782,24 +1772,40 @@ def _mlp_partition(mesh, arg_shapes, result_shape):
     x_sh = NamedSharding(mesh, P(b, n, None))
     vec_sh = NamedSharding(mesh, P(b, None))
     w_sh = NamedSharding(mesh, P(None, None))
-    return mesh, _mlp_impl, x_sh, (x_sh, vec_sh, vec_sh, w_sh, w_sh, w_sh, w_sh)
+    sums_sh = NamedSharding(mesh, P(b, None, None))
+    impl = _mlp_impl
+    if n is not None:
+        # point-sharded: each shard's kernel emits PARTIAL sums; reduce them
+        def impl(*a):
+            out, sums = _mlp_impl(*a)
+            return out, jax.lax.psum(sums, n)
+
+    return (
+        mesh,
+        impl,
+        (x_sh, sums_sh),
+        (x_sh, vec_sh, vec_sh, w_sh, w_sh, w_sh, w_sh),
+    )
 
 
 def _mlp_infer(mesh, arg_shapes, result_shape):
     b, n = (_spec_dim(arg_shapes[0].sharding, i) for i in range(2))
-    return NamedSharding(mesh, P(b, n, None))
+    return (
+        NamedSharding(mesh, P(b, n, None)),
+        NamedSharding(mesh, P(b, None, None)),
+    )
 
 
 _mlp_p.def_partition(
     _mlp_partition,
     infer_sharding_from_operands=_mlp_infer,
-    sharding_rule="b n c, b c, b c, c w, u w, w c1, u1 c1 -> b n c1",
-    need_replication_factors=("c", "w", "u", "c1", "u1"),
+    sharding_rule="b n c, b c, b c, c w, u w, w c1, u1 c1 -> b n c1, b t c1",
+    need_replication_factors=("c", "w", "u", "c1", "u1", "t"),
 )
 
 
 def _mlp_bwd_kernel(
-    x_ref, se_ref, be_ref, w1t_ref, b1_ref, w2t_ref, b2_ref, g_ref,
+    x_ref, se_ref, be_ref, w1t_ref, b1_ref, w2t_ref, b2_ref, g_ref, gs_ref,
     dx_ref, dse_ref, dbe_ref, dw1t_ref, db1_ref, dw2t_ref, db2_ref,
 ):
     """Backward of the fused MLP, recomputing the forward per tile in VMEM.
@@ -1808,13 +1814,14 @@ def _mlp_bwd_kernel(
     constant over the whole (b, n-tile) grid; dse/dbe accumulate per batch
     element over its point tiles. The XLA twin's backward round-trips two
     [B, N, W] intermediates through HBM (~1.6 GB/layer at flagship shapes);
-    this keeps them in VMEM.
+    this keeps them in VMEM. The sums-output cotangent (gs) folds into the
+    effective output cotangent as g + gs1 + 2*o*gs2, which needs the output
+    o recomputed (one extra [TN, W] x [W, C] matmul per tile).
     """
     first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
     ni = pl.program_id(1)
 
     x = x_ref[0]  # [TN, C]
-    g = g_ref[0].astype(jnp.float32)  # [TN, C]
     se = se_ref[0]  # [1, C] fp32
     yf = x.astype(jnp.float32) * se + be_ref[0]
     y = yf.astype(x.dtype)
@@ -1823,6 +1830,13 @@ def _mlp_bwd_kernel(
     ) + b1_ref[:]  # [TN, W]
     a = jnp.exp(-0.5 * h * h)  # fp32
     a_b = a.astype(y.dtype)
+
+    o = jax.lax.dot_general(
+        a_b, w2t_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) + b2_ref[:] + x.astype(jnp.float32)  # [TN, C] forward output
+    gs1 = gs_ref[0, 0:1, :]  # [1, C]
+    gs2 = gs_ref[0, 1:2, :]
+    g = g_ref[0].astype(jnp.float32) + gs1 + 2.0 * o * gs2  # [TN, C]
 
     gb = g.astype(y.dtype)
     # da = g @ w2t^T ; dh = da * a * (-h)
@@ -1864,7 +1878,7 @@ def _mlp_bwd_kernel(
     dbe_ref[0] += jnp.sum(dy, axis=0, keepdims=True)
 
 
-def _mlp_bwd_impl(x, se, be, w1t, b1, w2t, b2, g):
+def _mlp_bwd_impl(x, se, be, w1t, b1, w2t, b2, g, g_sums):
     b, n, c = x.shape
     w = w1t.shape[-1]
     tn = min(_pick_tile_n(n), 512)  # bwd holds four [TN, W] fp32 intermediates
@@ -1880,6 +1894,7 @@ def _mlp_bwd_impl(x, se, be, w1t, b1, w2t, b2, g):
             pl.BlockSpec((w, c), lambda bi, ni: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c), lambda bi, ni: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tn, c), lambda bi, ni: (bi, ni, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, c), lambda bi, ni: (bi, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, tn, c), lambda bi, ni: (bi, ni, 0), memory_space=pltpu.VMEM),
@@ -1903,7 +1918,7 @@ def _mlp_bwd_impl(x, se, be, w1t, b1, w2t, b2, g):
             dimension_semantics=("arbitrary", "arbitrary")
         ),
         interpret=_interpret(),
-    )(x, se[:, None, :], be[:, None, :], w1t, b1, w2t, b2, g)
+    )(x, se[:, None, :], be[:, None, :], w1t, b1, w2t, b2, g, g_sums)
     dx, dse, dbe, dw1t, db1, dw2t, db2 = outs
     # tie outputs against pallas-output DCE (axon Mosaic bug) — in-place form
     tie = 0.0 * (dse[0, 0, 0] + dw1t[0, 0] + dw2t[0, 0] + db1[0, 0] + db2[0, 0] + dbe[0, 0, 0])
@@ -1930,7 +1945,10 @@ def _mlp_ref(x, se, be, w1t, b1, w2t, b2):
         jnp.einsum("bnw,wc->bnc", g, w2t, preferred_element_type=jnp.float32)
         + b2[None]
     )
-    return (x.astype(jnp.float32) + out).astype(x.dtype)
+    o = x.astype(jnp.float32) + out
+    s1 = o.sum(axis=1)
+    s2 = (o * o).sum(axis=1)
+    return o.astype(x.dtype), jnp.stack([s1, s2], axis=1)
 
 
 _mlp_bwd_p = custom_partitioning(_mlp_bwd_impl)
@@ -1942,8 +1960,8 @@ def _mlp_bwd_partition(mesh, arg_shapes, result_shape):
     vec_sh = NamedSharding(mesh, P(b, None))
     w_sh = NamedSharding(mesh, P(None, None))
 
-    def impl(x, se, be, w1t, b1, w2t, b2, g):
-        outs = _mlp_bwd_impl(x, se, be, w1t, b1, w2t, b2, g)
+    def impl(x, se, be, w1t, b1, w2t, b2, g, g_sums):
+        outs = _mlp_bwd_impl(x, se, be, w1t, b1, w2t, b2, g, g_sums)
         dx, dse, dbe, dw1t, db1, dw2t, db2 = outs
         # weight grads reduce over BOTH sharded axes; affine grads over n
         for ax in (b, n):
@@ -1961,7 +1979,8 @@ def _mlp_bwd_partition(mesh, arg_shapes, result_shape):
         mesh,
         impl,
         (x_sh, vec_sh, vec_sh, w_sh, w_sh, w_sh, w_sh),
-        (x_sh, vec_sh, vec_sh, w_sh, w_sh, w_sh, w_sh, x_sh),
+        (x_sh, vec_sh, vec_sh, w_sh, w_sh, w_sh, w_sh, x_sh,
+         NamedSharding(mesh, P(b, None, None))),
     )
 
 
@@ -1977,15 +1996,17 @@ _mlp_bwd_p.def_partition(
     _mlp_bwd_partition,
     infer_sharding_from_operands=_mlp_bwd_infer,
     sharding_rule=(
-        "b n c, b c, b c, c w, u w, w c1, u1 c1, b n c2 "
+        "b n c, b c, b c, c w, u w, w c1, u1 c1, b n c2, b t c3 "
         "-> b n c, b c, b c, c w, u w, w c1, u1 c1"
     ),
-    need_replication_factors=("c", "w", "u", "c1", "u1", "c2"),
+    need_replication_factors=("c", "w", "u", "c1", "u1", "c2", "t", "c3"),
 )
 
 
 @jax.custom_vjp
 def fused_mlp_residual(x, se, be, w1t, b1, w2t, b2):
+    """-> (x + mlp(x*se+be), output channel sums [B, 2, C] fp32). The sums
+    feed the NEXT layer's pool pre-norm statistics (free stats chaining)."""
     return _mlp_p(x, se, be, w1t, b1, w2t, b2)
 
 
@@ -1995,10 +2016,15 @@ def _mlp_fwd(x, se, be, w1t, b1, w2t, b2):
 
 def _mlp_bwd(res, g):
     x, se, be, w1t, b1, w2t, b2 = res
+    g_out, g_sums = g
     if _twin_bwd("mlp"):
         _, vjp = jax.vjp(_mlp_ref, x, se, be, w1t, b1, w2t, b2)
-        return vjp(g)
-    return _mlp_bwd_p(x, se, be, w1t, b1, w2t, b2, g)
+        return vjp((g_out, g_sums))
+    # bf16 cotangent truncation is intentional — see the note in _pool_bwd
+    return _mlp_bwd_p(
+        x, se, be, w1t, b1, w2t, b2, g_out.astype(x.dtype),
+        g_sums.astype(jnp.float32),
+    )
 
 
 fused_mlp_residual.defvjp(_mlp_fwd, _mlp_bwd)

@@ -53,19 +53,38 @@ def _hside_kernel(
     h0_ref, s1_ref, b1n_ref, s2_ref, b2n_ref, gind_ref,
     w1t_ref, b1_ref, w2t_ref, b2_ref, wk_ref, wv_ref,
     h_ref, k_ref, v_ref,
+    *, n_inducers: int,
 ):
-    x = h0_ref[0].astype(jnp.float32)  # [I, C]
-    i, c = x.shape
-    gind = gind_ref[:]  # [C, G] fp32
+    x = h0_ref[0].astype(jnp.float32)  # [G*I, C] — G batch elements stacked
+    gi, c = x.shape
+    g_elems = gi // n_inducers
+    gind = gind_ref[:]  # [C, Gg] fp32
     per_group = c // gind.shape[1]
-    count = i * per_group
+    count = n_inducers * per_group
+    # row -> batch-element indicator [G*I, G]: all per-element statistics
+    # and affine expansions ride matmuls against this (no 3D ops in Mosaic)
+    bsel = (
+        jax.lax.broadcasted_iota(jnp.int32, (gi, g_elems), 0) // n_inducers
+        == jax.lax.broadcasted_iota(jnp.int32, (gi, g_elems), 1)
+    ).astype(jnp.float32)
 
-    def stats(z):
-        zs1 = jnp.sum(z, axis=0, keepdims=True)  # [1, C]
-        zs2 = jnp.sum(z * z, axis=0, keepdims=True)
+    def expand(per_elem):  # [G, C] -> [G*I, C]
+        return jax.lax.dot_general(
+            bsel, per_elem, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    def stats(z):  # [G*I, C] -> per-row mean/inv [G*I, C]
+        zs1 = jax.lax.dot_general(
+            bsel, z, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [G, C] per-element channel sums
+        zs2 = jax.lax.dot_general(
+            bsel, z * z, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
         g1 = jax.lax.dot_general(
             zs1, gind, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )  # [1, G]
+        )  # [G, Gg]
         g2 = jax.lax.dot_general(
             zs2, gind, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -74,24 +93,28 @@ def _hside_kernel(
         inv_g = jax.lax.rsqrt(jnp.maximum(var_g, 0.0) + _EPS)
         mean_c = jax.lax.dot_general(
             mean_g, gind, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # [1, C]
+        )  # [G, C]
         inv_c = jax.lax.dot_general(
             inv_g, gind, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        return mean_c, inv_c
+        return expand(mean_c), expand(inv_c)
 
     m1, i1 = stats(x)
-    y1 = ((x - m1) * (i1 * s1_ref[0]) + b1n_ref[0]).astype(h0_ref.dtype)
+    y1 = ((x - m1) * (i1 * expand(s1_ref[0])) + expand(b1n_ref[0])).astype(
+        h0_ref.dtype
+    )
     a = jax.lax.dot_general(
         y1, w1t_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    ) + b1_ref[:]  # [I, W]; alpha pre-folded by the caller
+    ) + b1_ref[:]  # [G*I, W]; alpha pre-folded by the caller
     g = jnp.exp(-0.5 * a * a).astype(y1.dtype)
     hh = jax.lax.dot_general(
         g, w2t_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    ) + b2_ref[:]  # [I, C]
+    ) + b2_ref[:]  # [G*I, C]
 
     m2, i2 = stats(hh)
-    y2 = ((hh - m2) * (i2 * s2_ref[0]) + b2n_ref[0]).astype(h_ref.dtype)
+    y2 = ((hh - m2) * (i2 * expand(s2_ref[0])) + expand(b2n_ref[0])).astype(
+        h_ref.dtype
+    )
     h_ref[0] = y2
     k_ref[0] = jax.lax.dot_general(
         y2, wk_ref[:], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -105,18 +128,27 @@ def _hside_impl(h0, s1, b1n, s2, b2n, gind, w1t, b1, w2t, b2, wk, wv):
     """h0 [B, I, C]; s*/b*n [B, C] fp32 (AdaGN embed affines for norm_1 and
     norm_2); gind [C, G]; w1t [C, W] / b1 [1, W] fp32 (alpha-folded),
     w2t [W, C] / b2 [1, C] fp32 (normalized-activation-folded); wk/wv [C, C]
-    -> (h [B, I, C], k [B, I, C], v [B, I, C])."""
+    -> (h [B, I, C], k [B, I, C], v [B, I, C]).
+
+    Several batch elements are processed per grid step (the per-element
+    tensors are tiny) by stacking them along the token axis — [B, I, C] ->
+    [B/G, G*I, C] is a free layout-preserving reshape — which turns the
+    matmuls MXU-wide and cuts the grid-step count ~8x."""
     bsz, i, c = h0.shape
     w = w1t.shape[-1]
+    g_elems = next(g for g in (8, 4, 2, 1) if bsz % g == 0)
+    nb = bsz // g_elems
+    h0r = h0.reshape(nb, g_elems * i, c)
+    vecs = [t.reshape(nb, g_elems, c) for t in (s1, b1n, s2, b2n)]
     h, k, v = pl.pallas_call(
-        _hside_kernel,
-        grid=(bsz,),
+        functools.partial(_hside_kernel, n_inducers=i),
+        grid=(nb,),
         in_specs=[
-            pl.BlockSpec((1, i, c), lambda bi: (bi, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, c), lambda bi: (bi, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, c), lambda bi: (bi, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, c), lambda bi: (bi, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, c), lambda bi: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g_elems * i, c), lambda bi: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g_elems, c), lambda bi: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g_elems, c), lambda bi: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g_elems, c), lambda bi: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g_elems, c), lambda bi: (bi, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(gind.shape, lambda bi: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((c, w), lambda bi: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, w), lambda bi: (0, 0), memory_space=pltpu.VMEM),
@@ -126,21 +158,19 @@ def _hside_impl(h0, s1, b1n, s2, b2n, gind, w1t, b1, w2t, b2, wk, wv):
             pl.BlockSpec((c, c), lambda bi: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, i, c), lambda bi: (bi, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, i, c), lambda bi: (bi, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, i, c), lambda bi: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g_elems * i, c), lambda bi: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g_elems * i, c), lambda bi: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g_elems * i, c), lambda bi: (bi, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((bsz, i, c), h0.dtype),
-            jax.ShapeDtypeStruct((bsz, i, c), h0.dtype),
-            jax.ShapeDtypeStruct((bsz, i, c), h0.dtype),
+            jax.ShapeDtypeStruct((nb, g_elems * i, c), h0.dtype),
+            jax.ShapeDtypeStruct((nb, g_elems * i, c), h0.dtype),
+            jax.ShapeDtypeStruct((nb, g_elems * i, c), h0.dtype),
         ],
         compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel",)),
         interpret=_interpret(),
-    )(
-        h0, s1[:, None, :], b1n[:, None, :], s2[:, None, :], b2n[:, None, :],
-        gind, w1t, b1, w2t, b2, wk, wv,
-    )
+    )(h0r, *vecs, gind, w1t, b1, w2t, b2, wk, wv)
+    h, k, v = (t.reshape(bsz, i, c) for t in (h, k, v))
     # tie outputs together against pallas-output DCE (axon Mosaic bug);
     # in-place single-element form (XLA aliases the buffer)
     h = h.at[0, 0, 0].add((0.0 * (k[0, 0, 0] + v[0, 0, 0])).astype(h.dtype))
