@@ -23,6 +23,7 @@ Skip-connection output projections are scaled by 0.1 at init
 
 from __future__ import annotations
 
+import os
 from typing import Any, Optional
 
 import jax
@@ -308,7 +309,9 @@ class BroadcastingLayer:
         output (emitted by the fused MLP kernel) for the next layer."""
         bkey, mkey = (None, None) if key is None else jax.random.split(key)
         if attn_impl == "folded_pallas":
-            out = self._fused_call(x, embed, h, bkey, mkey, mlp_on_unnormed, in_sums)
+            out = self._fused_call(
+                x, embed, h, bkey, mkey, mlp_on_unnormed, in_sums, with_sums
+            )
             return out if with_sums else out[:2]
         y = self.broadcast_norm(x, embed)
         x_b, h = self.broadcast(y, embed, h=h, attn_impl=attn_impl, key=bkey)
@@ -331,6 +334,7 @@ class BroadcastingLayer:
         mkey: Optional[jax.Array],
         mlp_on_unnormed: bool,
         in_sums: Optional[jnp.ndarray] = None,
+        with_sums: bool = False,
     ):
         """The whole layer through the three fused Pallas megakernels
         (ops/pallas/folded_attention.py): pool+pre-norm, unpool+pre-norm+
@@ -437,6 +441,46 @@ class BroadcastingLayer:
             hd = h.astype(dt)
             k = hd @ bc.unpool.k_proj.weight.astype(dt).T
             v = hd @ bc.unpool.v_proj.weight.astype(dt).T
+
+        mlp_ok = _mlp_fusable(self.mlp, mkey)
+        if mlp_ok and not mlp_on_unnormed and isinstance(self.mlp_norm, AdaGN):
+            w1t, b1, w2t, b2 = _fold_mlp_operands(self.mlp, dt)
+            from gecco_tpu.ops.pallas.folded_attention import (
+                fused_unpool_mlp,
+                unpool_mlp_vmem_ok,
+            )
+
+            # OPT-IN (GECCO_UNPOOL_MLP_MEGAKERNEL=1): unpool + mlp_norm +
+            # MLP as ONE two-pass megakernel with the intermediate stream in
+            # VMEM scratch. Measured SLOWER than the separate kernels on the
+            # axon v5e (18.3 vs 17.3 ms/eval): XLA's memory-space assignment
+            # already keeps the [B, N, C] layer-scan carry resident in VMEM
+            # (the 100 MB stream fits the 128 MB VMEM), so the separate
+            # kernels pay no HBM stream traffic either — and the
+            # megakernel's ~7 MB scratch demand evicts that carry, adding a
+            # VMEM<->HBM copy per layer. Kept as an execution strategy for
+            # devices where the stream exceeds VMEM minus scratch headroom.
+            if (
+                os.environ.get("GECCO_UNPOOL_MLP_MEGAKERNEL") == "1"
+                and bkey is None
+                and mkey is None
+                and unpool_mlp_vmem_ok(n, c, w1t.shape[-1], jnp.dtype(dt).itemsize)
+            ):
+                # tie only when the caller drops the sums (no stats
+                # chain) — the tie's in-place form cannot alias at the layer
+                # scan boundary and would cost a [B, N, C] copy per layer
+                x, out_sums = fused_unpool_mlp(
+                    x, se1, be1, k, v,
+                    bc.unpool.q_proj.weight.astype(dt),
+                    bc.unpool.out_proj.weight.astype(dt),
+                    self.mlp_norm.scale_linear(embed_f),
+                    self.mlp_norm.bias_linear(embed_f),
+                    group_indicator(c, self.mlp_norm.num_groups),
+                    w1t, b1, w2t, b2,
+                    num_heads, self.mlp_norm.num_groups, n, not with_sums,
+                )
+                return x, h, out_sums
+
         x, sums = folded_unpool(
             x, se1, be1, k, v,
             bc.unpool.q_proj.weight.astype(dt),
@@ -444,7 +488,7 @@ class BroadcastingLayer:
             num_heads, True, True,
         )
 
-        if not _mlp_fusable(self.mlp, mkey):
+        if not mlp_ok:
             y2 = x if mlp_on_unnormed else self.mlp_norm(x, embed)
             return x + self.mlp(y2, key=mkey), h, None
 

@@ -111,29 +111,30 @@ def _blockwise_softmax_lastaxis(s, block, bmap=None):
     """Softmax over static ``block``-wide column blocks of a 2D fp32 array.
 
     With ``bmap`` ([J, num_blocks] indicator), the kernel-path formulation
-    avoids EVERY lane-slicing construct: per-block maxima are full-width
-    ``jnp.where``-masked row reductions, the per-block sums and their
-    expansion back to J columns are one-hot matmuls on the MXU, and the exp
-    argument is clamped at -80 (mathematically inert for a softmax: the
-    clamped tail is < 2e-35 of the block mass). Hard-won on the axon
-    Mosaic toolchain, which (a) miscompiles 64-wide lane-slice max
-    reductions in large kernel bodies — masked lanes leak garbage for
-    specific layouts, observed as NaN rows after ~5k flagship training
-    steps — and (b) produces NaN from VPU exp on huge-negative arguments
-    (~ -7e4) in the same context. Slicing fallback without ``bmap``
-    (interpret mode / odd shapes).
+    stabilises every block with ONE global row max (exact — any shift
+    cancels against the per-block sum), computes the per-block sums and
+    their expansion back to J columns as one-hot matmuls on the MXU, and
+    avoids every lane-slicing construct (see the comment in the body for
+    the Mosaic pitfalls and the -85 clamp bound). Slicing fallback without
+    ``bmap`` (interpret mode / odd shapes).
     """
     nb = s.shape[-1] // block
     if bmap is not None:
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) // block
-        mexp = jnp.full_like(s, -3.0e38)
-        for q in range(nb):
-            mask_q = col == q
-            mq = jnp.max(
-                jnp.where(mask_q, s, -3.0e38), axis=-1, keepdims=True
-            )  # [TN, 1] full-width reduction — no lane slicing
-            mexp = jnp.where(mask_q, mq, mexp)
-        e = jnp.exp(jnp.maximum(s - mexp, -80.0))
+        # ONE global row max stabilises every block at once: within block b,
+        # p = e^{s-m} / sum_b e^{s-m} is exact for ANY m (the e^{m_b - m}
+        # factor cancels), so the per-block maxima are unnecessary — and the
+        # 8 masked full-width reductions they cost dominated this kernel's
+        # VPU time (~3.5 us per batch element, xprof round 3). Clamping at
+        # -85 keeps e just above the fp32 normal floor (e^-85 = 1.2e-37), so
+        # block sums stay normal; a block is distorted only if its entire
+        # logit range sits > 85 below the row max (normed inputs keep logit
+        # spread ~ +-30). The formulation still avoids every lane-slicing
+        # construct — the axon Mosaic toolchain miscompiles 64-wide
+        # lane-slice max reductions in large kernel bodies (masked lanes
+        # leak garbage; NaN rows after ~5k flagship training steps) and its
+        # VPU exp NaNs on huge-negative arguments (~ -7e4).
+        m = jnp.max(s, axis=-1, keepdims=True)  # [TN, 1] full-width reduce
+        e = jnp.exp(jnp.maximum(s - m, -85.0))
         sums = jax.lax.dot_general(
             e, bmap, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )  # [TN, nb]
@@ -2028,3 +2029,361 @@ def _mlp_bwd(res, g):
 
 
 fused_mlp_residual.defvjp(_mlp_fwd, _mlp_bwd)
+
+
+# ---------------------------------------------------- fused unpool + mlp --
+# Two passes over the point tiles of one batch element (grid (b, 2, nt)):
+# pass 0 runs the whole unpool (pre-norm, folded broadcast attention,
+# residual) and PARKS the intermediate stream x' in VMEM scratch while
+# accumulating its channel sums; between the passes the mlp_norm GroupNorm
+# statistics and embed affine collapse in-kernel; pass 1 runs the fused MLP
+# on the parked tiles. x' never touches HBM: per-layer stream traffic drops
+# from four passes over [B, N, C] (unpool read+write, MLP read+write) to
+# two (read once, write once) — the HBM-bandwidth-bound portion of the
+# denoiser eval (BASELINE.md roofline). Same math as folded_unpool +
+# scale_bias_from_sums + fused_mlp_residual; reference behaviour:
+# gecco-jax/src/gecco_jax/models/set_transformer.py:104-135 (SetAttention
+# broadcast + MLP residual halves of one layer).
+
+
+def unpool_mlp_vmem_ok(n: int, c: int, w: int, itemsize: int = 2) -> bool:
+    """The megakernel parks the whole per-element [N, C] stream in VMEM and
+    holds both MLP weight panels — conservative budget gate (the 8k config
+    exceeds it and keeps the separate kernels)."""
+    tn = 512 if n % 512 == 0 else n
+    need = (
+        n * c * itemsize  # parked x' stream
+        + 2 * c * w * itemsize  # MLP weight panels
+        + tn * w * (4 + itemsize)  # pass-1 hidden fp32 + activation
+        + 4 * tn * c * (4 + itemsize)  # tile in/out + fp32 transients
+        + 4 * c * c * itemsize  # wq/wo + folded kf/vf
+    )
+    return need <= 13 * 1024 * 1024
+
+
+def _unpool_mlp_kernel(
+    x_ref, se1_ref, be1_ref, k_ref, v_ref, wq_ref, wo_ref, bmap_ref,
+    sc2_ref, bi2_ref, gind_ref, w1t_ref, b1_ref, w2t_ref, b2_ref,
+    o_ref, sums_ref,
+    kf_scratch, vf_scratch, xp_scratch, us_scratch, aff2_scratch,
+    *, num_heads: int, scale_qk: float, n_tokens: int,
+):
+    pz = pl.program_id(1)
+    ni = pl.program_id(2)
+    nt = pl.num_programs(2)
+    c = x_ref.shape[-1]
+    d = c // num_heads
+    i = k_ref.shape[1]
+    tn = x_ref.shape[1]
+
+    @pl.when(jnp.logical_and(pz == 0, ni == 0))
+    def _():
+        # fold q/out projections against the inducer-state k/v once per
+        # batch element (same fold as the standalone unpool kernel)
+        for h in range(num_heads):
+            wq_h = wq_ref[h * d : (h + 1) * d, :]  # [D, C]
+            k_h = k_ref[0][:, h * d : (h + 1) * d]  # [I, D]
+            kf_scratch[:, h * i : (h + 1) * i] = (
+                scale_qk
+                * jax.lax.dot_general(
+                    wq_h, k_h, (((0,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            ).astype(kf_scratch.dtype)
+            v_h = v_ref[0][:, h * d : (h + 1) * d]  # [I, D]
+            wo_h = wo_ref[:, h * d : (h + 1) * d]  # [C, D]
+            vf_scratch[h * i : (h + 1) * i, :] = jax.lax.dot_general(
+                v_h, wo_h, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(vf_scratch.dtype)
+        us_scratch[:] = jnp.zeros_like(us_scratch)
+
+    @pl.when(pz == 0)
+    def _():
+        x = x_ref[0]  # [TN, C]
+        y = (x.astype(jnp.float32) * se1_ref[0] + be1_ref[0]).astype(x.dtype)
+        s = jax.lax.dot_general(
+            y, kf_scratch[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [TN, J]
+        p = _blockwise_softmax_lastaxis(s, i, bmap_ref[:])
+        attn = x.astype(jnp.float32) + jax.lax.dot_general(
+            p.astype(y.dtype), vf_scratch[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [TN, C] fp32, residual included
+        xp_scratch[pl.ds(ni * tn, tn), :] = attn.astype(xp_scratch.dtype)
+        us_scratch[0:1, :] += jnp.sum(attn, axis=0, keepdims=True)
+        us_scratch[1:2, :] += jnp.sum(attn * attn, axis=0, keepdims=True)
+
+    @pl.when(jnp.logical_and(pz == 0, ni == nt - 1))
+    def _():
+        # collapse the mlp_norm GroupNorm statistics + embed affine into the
+        # per-channel (se2, be2) — fp32, same math as scale_bias_from_sums
+        gind = gind_ref[:]  # [C, G]
+        per_group = c // gind.shape[1]
+        count = float(n_tokens * per_group)
+        g1 = jax.lax.dot_general(
+            us_scratch[0:1, :], gind, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [1, G]
+        g2 = jax.lax.dot_general(
+            us_scratch[1:2, :], gind, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        mean_g = g1 / count
+        var_g = g2 / count - mean_g * mean_g
+        inv_g = jax.lax.rsqrt(jnp.maximum(var_g, 0.0) + 1e-5)
+        mean_c = jax.lax.dot_general(
+            mean_g, gind, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [1, C]
+        inv_c = jax.lax.dot_general(
+            inv_g, gind, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        se2 = sc2_ref[0] * inv_c
+        aff2_scratch[0:1, :] = se2
+        aff2_scratch[1:2, :] = bi2_ref[0] - mean_c * se2
+
+    @pl.when(pz == 1)
+    def _():
+        xi = xp_scratch[pl.ds(ni * tn, tn), :]  # [TN, C]
+        y2 = (
+            xi.astype(jnp.float32) * aff2_scratch[0:1, :] + aff2_scratch[1:2, :]
+        ).astype(xi.dtype)
+        hmid = jax.lax.dot_general(
+            y2, w1t_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b1_ref[:]  # [TN, W]; alpha pre-folded by the caller
+        g = jnp.exp(-0.5 * hmid * hmid).astype(y2.dtype)
+        o = xi.astype(jnp.float32) + jax.lax.dot_general(
+            g, w2t_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b2_ref[:]
+        o_ref[0] = o.astype(o_ref.dtype)
+
+        @pl.when(ni == 0)
+        def _():
+            sums_ref[0] = jnp.zeros_like(sums_ref[0])
+
+        # channel sums of the OUTPUT — the next layer's pool pre-norm
+        # statistics ride the scan carry for free (stats chain)
+        sums_ref[0] += jnp.concatenate(
+            [
+                jnp.sum(o, axis=0, keepdims=True),
+                jnp.sum(o * o, axis=0, keepdims=True),
+            ],
+            axis=0,
+        )
+
+
+def _unpool_mlp_impl(
+    x, se1, be1, k, v, wq, wo, sc2, bi2, gind, w1t, b1, w2t, b2,
+    num_heads, n_tokens, tie=True,
+):
+    """x [B, N, C]; se1/be1 [B, C] fp32 (collapsed broadcast_norm); k/v
+    [B, I, C]; wq/wo [C, C]; sc2/bi2 [B, C] fp32 (mlp_norm embed affine,
+    RAW — the GroupNorm statistics fold in-kernel); gind [C, G]; w1t/b1/
+    w2t/b2 the folded MLP operands -> (out [B, N, C], out channel sums
+    [B, 2, C] fp32)."""
+    b, n, c = x.shape
+    i = k.shape[1]
+    j = num_heads * i
+    w = w1t.shape[-1]
+    tn = min(_pick_tile_n(n), 512)
+    out, sums = pl.pallas_call(
+        functools.partial(
+            _unpool_mlp_kernel,
+            num_heads=num_heads,
+            scale_qk=1.0 / ((c // num_heads) ** 0.5),
+            n_tokens=n_tokens,
+        ),
+        grid=(b, 2, n // tn),
+        in_specs=[
+            # x is only read in pass 0; pass 1 pins the last pass-0 block so
+            # the [B, N, C] stream is DMA'd exactly once per batch element
+            pl.BlockSpec(
+                (1, tn, c),
+                lambda bi, pz, ni, nt=n // tn: (
+                    bi, ni * (1 - pz) + (nt - 1) * pz, 0
+                ),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((1, 1, c), lambda bi, pz, ni: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda bi, pz, ni: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, i, c), lambda bi, pz, ni: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, i, c), lambda bi, pz, ni: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, c), lambda bi, pz, ni: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, c), lambda bi, pz, ni: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((j, num_heads), lambda bi, pz, ni: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda bi, pz, ni: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda bi, pz, ni: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(gind.shape, lambda bi, pz, ni: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, w), lambda bi, pz, ni: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, w), lambda bi, pz, ni: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, c), lambda bi, pz, ni: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda bi, pz, ni: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            # written only in pass 1; during pass 0 the map pins the (bi, 0)
+            # block so no garbage blocks are flushed (same pattern as the
+            # two-pass pool backward)
+            pl.BlockSpec((1, tn, c), lambda bi, pz, ni: (bi, pz * ni, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, c), lambda bi, pz, ni: (bi, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n, c), x.dtype),
+            jax.ShapeDtypeStruct((b, 2, c), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((c, j), x.dtype),
+            pltpu.VMEM((j, c), x.dtype),
+            pltpu.VMEM((n, c), x.dtype),
+            pltpu.VMEM((2, c), jnp.float32),
+            pltpu.VMEM((2, c), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary")
+        ),
+        interpret=_interpret(),
+    )(
+        x, se1[:, None, :], be1[:, None, :], k, v, wq, wo,
+        block_map(j, num_heads), sc2[:, None, :], bi2[:, None, :],
+        gind, w1t, b1, w2t, b2,
+    )
+    if tie:
+        # tie outputs against pallas-output DCE (axon Mosaic bug). Skipped
+        # when the caller provably consumes the sums (the layer-scan stats
+        # chain) — at the scan boundary XLA cannot alias the in-place form
+        # and materialises a ~1 ms [B, N, C] copy per eval (xprof, round 3).
+        out = out.at[0, 0, 0].add((0.0 * sums[0, 0, 0]).astype(out.dtype))
+    return out, sums
+
+
+def _affine_from_sums(sums, n_tokens, sc2, bi2, num_groups):
+    """XLA twin of the in-kernel stats collapse (scale_bias_from_sums with
+    explicit embed affines)."""
+    b, _, c = sums.shape
+    pg = c // num_groups
+    g1 = sums[:, 0].reshape(b, num_groups, pg).sum(-1)
+    g2 = sums[:, 1].reshape(b, num_groups, pg).sum(-1)
+    count = n_tokens * pg
+    mean = g1 / count
+    var = g2 / count - mean**2
+    inv = jax.lax.rsqrt(jnp.maximum(var, 0.0) + 1e-5)
+    mean_c = jnp.repeat(mean, pg, axis=-1)
+    inv_c = jnp.repeat(inv, pg, axis=-1)
+    se2 = sc2 * inv_c
+    return se2, bi2 - mean_c * se2
+
+
+def _unpool_mlp_composed(
+    x, se1, be1, k, v, wq, wo, sc2, bi2, w1t, b1, w2t, b2,
+    num_heads, num_groups, n_tokens, axis=None,
+):
+    """The same function through the separate kernels (training path /
+    seq-sharded fallback / backward recompute); ``axis`` psums the partial
+    sums when the point axis is sharded."""
+    xr, sums = folded_unpool(x, se1, be1, k, v, wq, wo, num_heads, True, True)
+    if axis is not None:
+        sums = jax.lax.psum(sums, axis)
+    se2, be2 = _affine_from_sums(sums, n_tokens, sc2, bi2, num_groups)
+    out, out_sums = fused_mlp_residual(xr, se2, be2, w1t, b1, w2t, b2)
+    if axis is not None:
+        out_sums = jax.lax.psum(out_sums, axis)
+    return out, out_sums
+
+
+_unpool_mlp_p = custom_partitioning(_unpool_mlp_impl, static_argnums=(14, 15, 16))
+
+
+def _unpool_mlp_partition(num_heads, n_tokens, tie, mesh, arg_shapes, result_shape):
+    b, n = (_spec_dim(arg_shapes[0].sharding, i) for i in range(2))
+    x_sh = NamedSharding(mesh, P(b, n, None))
+    vec_sh = NamedSharding(mesh, P(b, None))
+    kv_sh = NamedSharding(mesh, P(b, None, None))
+    w_sh = NamedSharding(mesh, P(None, None))
+    sums_sh = NamedSharding(mesh, P(b, None, None))
+    if n is None:
+        impl = lambda *a: _unpool_mlp_impl(*a, num_heads, n_tokens, tie)
+    else:
+        # point-sharded: the in-kernel statistics would be shard-local —
+        # route through the separate kernels with explicit psums instead
+        num_groups = arg_shapes[9].shape[1]  # gind [C, G]
+
+        def impl(x, se1, be1, k, v, wq, wo, sc2, bi2, gind, w1t, b1, w2t, b2):
+            return _unpool_mlp_composed(
+                x, se1, be1, k, v, wq, wo, sc2, bi2, w1t, b1, w2t, b2,
+                num_heads, num_groups, n_tokens, axis=n,
+            )
+
+    return (
+        mesh,
+        impl,
+        (x_sh, sums_sh),
+        (x_sh, vec_sh, vec_sh, kv_sh, kv_sh, w_sh, w_sh, vec_sh, vec_sh,
+         w_sh, w_sh, w_sh, w_sh, w_sh),
+    )
+
+
+def _unpool_mlp_infer(num_heads, n_tokens, tie, mesh, arg_shapes, result_shape):
+    b, n = (_spec_dim(arg_shapes[0].sharding, i) for i in range(2))
+    return (
+        NamedSharding(mesh, P(b, n, None)),
+        NamedSharding(mesh, P(b, None, None)),
+    )
+
+
+_unpool_mlp_p.def_partition(
+    _unpool_mlp_partition,
+    infer_sharding_from_operands=_unpool_mlp_infer,
+    sharding_rule=(
+        "b n c, b c, b c, b i c1, b i c2, c3 c4, c5 c6, b c7, b c8, c9 g, "
+        "c10 w, u w, w c11, u1 c11 -> b n c, b t c"
+    ),
+    need_replication_factors=(
+        "c", "i", "c1", "c2", "c3", "c4", "c5", "c6", "c7", "c8", "c9", "g",
+        "c10", "w", "u", "c11", "u1", "t",
+    ),
+)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(14, 15, 16, 17))
+def fused_unpool_mlp(
+    x, se1, be1, k, v, wq, wo, sc2, bi2, gind, w1t, b1, w2t, b2,
+    num_heads, num_groups, n_tokens, tie=True,
+):
+    """Unpool + residual + mlp_norm + MLP + residual as ONE two-pass Pallas
+    program (the intermediate stream lives in VMEM scratch). Forward is the
+    megakernel; backward recomputes through the separate unpool/MLP kernels
+    (their custom_vjps), so training gradients are identical to the
+    unfused path."""
+    return _unpool_mlp_p(
+        x, se1, be1, k, v, wq, wo, sc2, bi2, gind, w1t, b1, w2t, b2,
+        num_heads, n_tokens, tie,
+    )
+
+
+def _unpool_mlp_fwd(
+    x, se1, be1, k, v, wq, wo, sc2, bi2, gind, w1t, b1, w2t, b2,
+    num_heads, num_groups, n_tokens, tie,
+):
+    out = _unpool_mlp_p(
+        x, se1, be1, k, v, wq, wo, sc2, bi2, gind, w1t, b1, w2t, b2,
+        num_heads, n_tokens, tie,
+    )
+    return out, (x, se1, be1, k, v, wq, wo, sc2, bi2, w1t, b1, w2t, b2)
+
+
+def _unpool_mlp_bwd(num_heads, num_groups, n_tokens, tie, res, g):
+    x, se1, be1, k, v, wq, wo, sc2, bi2, w1t, b1, w2t, b2 = res
+    _, vjp = jax.vjp(
+        lambda *a: _unpool_mlp_composed(*a, num_heads, num_groups, n_tokens),
+        x, se1, be1, k, v, wq, wo, sc2, bi2, w1t, b1, w2t, b2,
+    )
+    grads = vjp(g)
+    # re-insert the missing gind slot (constant indicator, no gradient)
+    return grads[:9] + (None,) + grads[9:]
+
+
+fused_unpool_mlp.defvjp(_unpool_mlp_fwd, _unpool_mlp_bwd)
