@@ -151,11 +151,100 @@ def _blockwise_softmax_lastaxis(s, block, bmap=None):
     return jnp.concatenate(outs, axis=-1)
 
 
-def _pick_tile_n(n: int) -> int:
+# Naive-liveness VMEM budget for the point-tile chooser. Calibrated against
+# Mosaic's measured stack allocation on this toolchain: the stack allocator
+# realises ~0.55-0.65x of the naive "every named intermediate live at once"
+# tally for these kernel bodies (measured: unpool fwd at C=768/J=1024/TN=1024
+# tallies 30.2 MB naive and Mosaic reports 16.85 MB; the flagship MLP
+# backward tallies 22.4 MB naive and fits the 16 MB scoped limit). 26 MB
+# naive ≈ 15 MB realised keeps ~1 MB of headroom.
+_VMEM_NAIVE_BUDGET = 26 * 1024 * 1024
+
+
+def _pick_tile_n(
+    n: int, row_bytes: int = None, fixed_bytes: int = 0, cap: int = 1024
+) -> int:
+    """Largest point tile (<= cap, dividing n) whose naive VMEM estimate
+    fits the budget: ``tn * row_bytes + fixed_bytes``. ``row_bytes`` is the
+    caller's per-point byte tally over the simultaneously-live [TN, *]
+    intermediates; ``fixed_bytes`` covers weights/scratch/accumulators whose
+    size is tile-independent. With no estimate, returns the largest dividing
+    tile (<= cap). If no dividing tile fits, returns the smallest dividing
+    candidate — callers that can fall back to an XLA twin should gate with
+    ``_tile_fits`` first."""
+    fallback = None
     for tn in (1024, 512, 256, 128):
-        if n % tn == 0:
+        if tn > cap or n % tn:
+            continue
+        fallback = tn
+        if row_bytes is None or tn * row_bytes + fixed_bytes <= _VMEM_NAIVE_BUDGET:
             return tn
-    return n
+    return fallback if fallback is not None else n
+
+
+def _tile_fits(n: int, row_bytes: int, fixed_bytes: int = 0, cap: int = 1024) -> bool:
+    """Whether the kernel fits VMEM at the tile ``_pick_tile_n`` would pick."""
+    tn = _pick_tile_n(n, row_bytes, fixed_bytes, cap)
+    return tn * row_bytes + fixed_bytes <= _VMEM_NAIVE_BUDGET
+
+
+# Per-kernel naive byte tallies for the tile chooser (C = feature width,
+# J = heads x inducers, D = head dim, W = MLP hidden width). Coefficients
+# count the simultaneously-live [TN, C]-rows (bf16 in/out blocks, fp32
+# transients) and [TN, J]/[TN, W] softmax or activation planes per point;
+# fixed terms count weights, identity matrices, scratch, and fp32
+# weight-gradient accumulator blocks.
+
+def _pool_ext_row_bytes(c, j):
+    return 12 * c + 10 * j  # x/y/v/out rows + s/e/e_b planes
+
+
+def _pool_ext_fixed_bytes(c, j, d):
+    return 8 * c * c + 2 * c * j + 4 * j * j + 4 * j * d  # kvw/wo, qf, eye(j), pacc
+
+
+def _pool_ext_bwd_row_bytes(c, j):
+    return 16 * c + 22 * j  # recompute rows + dp/p/ds planes (two passes)
+
+
+def _pool_ext_bwd_fixed_bytes(c, j, d):
+    # qf/kvw/wo/eyec bf16 + eyej fp32 + dm/pacc scratch + dqf/dwv/dwo fp32
+    return 10 * c * c + 2 * c * j + 4 * j * j + 2 * j * c + 4 * j * d \
+        + 4 * c * j + 8 * c * c
+
+
+def _unpool_row_bytes(c, j):
+    return 12 * c + 12 * j  # x/y/attn/out rows + s/p planes
+
+
+def _unpool_fixed_bytes(c, j, i):
+    return 4 * c * j + 4 * c * c + 4 * i * c  # kf/vf scratch, wq/wo, k/v
+
+
+def _unpool_bwd_row_bytes(c, j):
+    return 16 * c + 16 * j  # recompute + cotangent planes
+
+
+def _unpool_bwd_fixed_bytes(c, j, i):
+    # kf/vf bf16 scratch (4cj) + dkf/dvf fp32 accumulator blocks (8cj)
+    # + wq/wo and their fp32 grads + k/v blocks
+    return 12 * c * j + 8 * c * c + 8 * i * c
+
+
+def _mlp_row_bytes(c, w):
+    return 14 * c + 6 * w  # x/yf/y/o rows + h fp32 / g bf16 planes
+
+
+def _mlp_fixed_bytes(c, w):
+    return 4 * c * w  # w1t + w2t bf16
+
+
+def _mlp_bwd_row_bytes(c, w):
+    return 14 * c + 16 * w  # recompute rows + da/dh/dh_b/a planes
+
+
+def _mlp_bwd_fixed_bytes(c, w):
+    return 12 * c * w  # w1t/w2t bf16 + dw1t/dw2t fp32 accumulator blocks
 
 
 def _fold_qf(ind2, kvw, num_heads: int) -> jnp.ndarray:
@@ -852,7 +941,8 @@ def _pool_ext_impl(x, se, be, ind2, kvw, wo, num_heads):
     b, n, c = x.shape
     j, d = ind2.shape
     i = j // num_heads
-    tn = min(_pick_tile_n(n), 1024)
+    tn = _pick_tile_n(n, row_bytes=_pool_ext_row_bytes(c, j),
+                      fixed_bytes=_pool_ext_fixed_bytes(c, j, d))
     qf = _fold_qf(ind2, kvw, num_heads).astype(x.dtype)
     h0, macc, sacc = pl.pallas_call(
         functools.partial(
@@ -1059,7 +1149,8 @@ def _pool_ext_bwd_impl(x, se, be, ind2, kvw, wo, g_h0, macc, sacc, num_heads):
     b, n, c = x.shape
     j, d = ind2.shape
     i = j // num_heads
-    tn = min(_pick_tile_n(n), 512)
+    tn = _pick_tile_n(n, row_bytes=_pool_ext_bwd_row_bytes(c, j),
+                      fixed_bytes=_pool_ext_bwd_fixed_bytes(c, j, d), cap=512)
     qf = _fold_qf(ind2, kvw, num_heads).astype(x.dtype)
     outs = pl.pallas_call(
         functools.partial(
@@ -1209,7 +1300,13 @@ def _pool_ext_fwd(x, se, be, ind2, kvw, wo, num_heads):
 
 def _pool_ext_bwd(num_heads, res, g):
     x, se, be, ind2, kvw, wo, macc, sacc = res
-    if _twin_bwd("pool"):
+    n, c = x.shape[1], x.shape[2]
+    j, d = ind2.shape
+    fits = _tile_fits(
+        n, _pool_ext_bwd_row_bytes(c, j),
+        _pool_ext_bwd_fixed_bytes(c, j, d), cap=512,
+    )
+    if _twin_bwd("pool") or not fits:
         _, vjp = jax.vjp(
             lambda *a: _pool_ext_ref(*a, num_heads), x, se, be, ind2, kvw, wo
         )
@@ -1295,7 +1392,8 @@ def _unpool_impl(x, se, be, k, v, wq, wo, num_heads, residual=True, prenorm=True
     i = k.shape[1]
     j = num_heads * i
     d = c // num_heads
-    tn = _pick_tile_n(n)
+    tn = _pick_tile_n(n, row_bytes=_unpool_row_bytes(c, j),
+                      fixed_bytes=_unpool_fixed_bytes(c, j, i))
     out, sums = pl.pallas_call(
         functools.partial(
             _unpool_kernel,
@@ -1496,7 +1594,8 @@ def _unpool_bwd_impl(x, se, be, k, v, wq, wo, g, g_sums, num_heads, residual, pr
     i = k.shape[1]
     j = num_heads * i
     d = c // num_heads
-    tn = min(_pick_tile_n(n), 512)  # bwd holds ~4 [TN, J] fp32 intermediates
+    tn = _pick_tile_n(n, row_bytes=_unpool_bwd_row_bytes(c, j),
+                      fixed_bytes=_unpool_bwd_fixed_bytes(c, j, i), cap=512)
     outs = pl.pallas_call(
         functools.partial(
             _unpool_bwd_kernel,
@@ -1680,7 +1779,14 @@ def _unpool_fwd(x, se, be, k, v, wq, wo, num_heads, residual, prenorm):
 
 def _unpool_bwd(num_heads, residual, prenorm, res, g):
     x, se, be, k, v, wq, wo = res
-    if _twin_bwd("unpool"):
+    n, c = x.shape[1], x.shape[2]
+    i = k.shape[1]
+    j = num_heads * i
+    fits = _tile_fits(
+        n, _unpool_bwd_row_bytes(c, j),
+        _unpool_bwd_fixed_bytes(c, j, i), cap=512,
+    )
+    if _twin_bwd("unpool") or not fits:
         _, vjp = jax.vjp(
             lambda *a: _unpool_ref(*a, num_heads, residual, prenorm),
             x, se, be, k, v, wq, wo,
@@ -1734,7 +1840,8 @@ def _mlp_impl(x, se, be, w1t, b1, w2t, b2):
     output channel sums [B, 2, C] fp32)."""
     b, n, c = x.shape
     w = w1t.shape[-1]
-    tn = _pick_tile_n(n)
+    tn = _pick_tile_n(n, row_bytes=_mlp_row_bytes(c, w),
+                      fixed_bytes=_mlp_fixed_bytes(c, w))
     out, sums = pl.pallas_call(
         _mlp_kernel,
         grid=(b, n // tn),
@@ -1882,7 +1989,8 @@ def _mlp_bwd_kernel(
 def _mlp_bwd_impl(x, se, be, w1t, b1, w2t, b2, g, g_sums):
     b, n, c = x.shape
     w = w1t.shape[-1]
-    tn = min(_pick_tile_n(n), 512)  # bwd holds four [TN, W] fp32 intermediates
+    tn = _pick_tile_n(n, row_bytes=_mlp_bwd_row_bytes(c, w),
+                      fixed_bytes=_mlp_bwd_fixed_bytes(c, w), cap=512)
     outs = pl.pallas_call(
         _mlp_bwd_kernel,
         grid=(b, n // tn),
@@ -2018,7 +2126,15 @@ def _mlp_fwd(x, se, be, w1t, b1, w2t, b2):
 def _mlp_bwd(res, g):
     x, se, be, w1t, b1, w2t, b2 = res
     g_out, g_sums = g
-    if _twin_bwd("mlp"):
+    n, c = x.shape[1], x.shape[2]
+    w = w1t.shape[-1]
+    # the fp32 weight-grad accumulator blocks are tile-independent; at
+    # 8k-config widths (C=768, W=3072) they alone exceed VMEM — gate to
+    # the XLA twin rather than OOM (same function, HBM-resident grads)
+    fits = _tile_fits(
+        n, _mlp_bwd_row_bytes(c, w), _mlp_bwd_fixed_bytes(c, w), cap=512
+    )
+    if _twin_bwd("mlp") or not fits:
         _, vjp = jax.vjp(_mlp_ref, x, se, be, w1t, b1, w2t, b2)
         return vjp((g_out, g_sums))
     # bf16 cotangent truncation is intentional — see the note in _pool_bwd
