@@ -336,7 +336,12 @@ class Diffusion:
         gamma = churn_gamma(s_churn, n_transitions)
 
         b, _, d = data.shape
-        x_init = sigmas[0] * jax.random.normal(latent_key, (b, n_new, d))
+        # The fused Pallas kernels tile the point axis in multiples of 128;
+        # points are exchangeable, so generating up to the next multiple and
+        # slicing back is exact (the reference's n_new=100_000 notebook cell
+        # works verbatim). No-op when n_new is already aligned.
+        n_gen = -(-n_new // 128) * 128
+        x_init = sigmas[0] * jax.random.normal(latent_key, (b, n_gen, d))
 
         def outer_body(carry, inp):
             x, rng = carry
@@ -388,7 +393,7 @@ class Diffusion:
         (x_final, _), _ = jax.lax.scan(
             outer_body, (x_init, loop_key), (sigmas[:-1], sigmas[1:], is_last)
         )
-        return self.reparam.diffusion_to_data(x_final, ctx)
+        return self.reparam.diffusion_to_data(x_final[:, :n_new], ctx)
 
     # -- exact likelihood (models/diffusion.py:444-541) --
 

@@ -107,40 +107,55 @@ def block_map(j: int, num_blocks: int) -> jnp.ndarray:
     return (col[:, None] == jnp.arange(num_blocks)[None, :]).astype(jnp.float32)
 
 
-def _blockwise_softmax_lastaxis(s, block, bmap=None):
+def _blockwise_softmax_lastaxis(s, block, bmap=None, return_active=False):
     """Softmax over static ``block``-wide column blocks of a 2D fp32 array.
 
     With ``bmap`` ([J, num_blocks] indicator), the kernel-path formulation
-    stabilises every block with ONE global row max (exact — any shift
-    cancels against the per-block sum), computes the per-block sums and
-    their expansion back to J columns as one-hot matmuls on the MXU, and
-    avoids every lane-slicing construct (see the comment in the body for
-    the Mosaic pitfalls and the -85 clamp bound). Slicing fallback without
-    ``bmap`` (interpret mode / odd shapes).
+    stabilises each block with ITS OWN maximum (full-width masked row
+    reductions — no lane slicing), computes the per-block sums and their
+    expansion back to J columns as one-hot matmuls on the MXU, and clamps
+    the exp argument at -80 (inert: within a max-shifted block the clamped
+    tail is < 2e-35 of the block mass). Slicing fallback without ``bmap``
+    (interpret mode / odd shapes).
+
+    Hard-won on the axon Mosaic toolchain, which (a) miscompiles 64-wide
+    lane-slice max reductions in large kernel bodies — masked lanes leak
+    garbage for specific layouts, NaN rows after ~5k flagship training
+    steps — and (b) produces NaN from VPU exp on huge-negative arguments
+    (~ -7e4).
+
+    DO NOT replace the per-block maxima with one global row max (tried in
+    round 3 for the ~3.5 us/batch-element the masked reductions cost): it
+    is only exact while every block's logits sit within the clamp bound of
+    the global max. Per-head logit scales drift apart during training;
+    once a weak head's whole block falls > 80 below the strongest head's
+    max, its probabilities flatten to uniform AND the softmax backward
+    formula (which assumes unclamped exp) turns wrong precisely where the
+    clamp binds — certified divergence of flagship training at ~1k steps
+    (loss 0.97 -> 2.0; bisected via GECCO_TWIN_BWD arms, BASELINE.md
+    round-3 notes).
     """
     nb = s.shape[-1] // block
     if bmap is not None:
-        # ONE global row max stabilises every block at once: within block b,
-        # p = e^{s-m} / sum_b e^{s-m} is exact for ANY m (the e^{m_b - m}
-        # factor cancels), so the per-block maxima are unnecessary — and the
-        # 8 masked full-width reductions they cost dominated this kernel's
-        # VPU time (~3.5 us per batch element, xprof round 3). Clamping at
-        # -85 keeps e just above the fp32 normal floor (e^-85 = 1.2e-37), so
-        # block sums stay normal; a block is distorted only if its entire
-        # logit range sits > 85 below the row max (normed inputs keep logit
-        # spread ~ +-30). The formulation still avoids every lane-slicing
-        # construct — the axon Mosaic toolchain miscompiles 64-wide
-        # lane-slice max reductions in large kernel bodies (masked lanes
-        # leak garbage; NaN rows after ~5k flagship training steps) and its
-        # VPU exp NaNs on huge-negative arguments (~ -7e4).
-        m = jnp.max(s, axis=-1, keepdims=True)  # [TN, 1] full-width reduce
-        e = jnp.exp(jnp.maximum(s - m, -85.0))
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) // block
+        mexp = jnp.full_like(s, -3.0e38)
+        for q in range(nb):
+            mask_q = col == q
+            mq = jnp.max(
+                jnp.where(mask_q, s, -3.0e38), axis=-1, keepdims=True
+            )  # [TN, 1] full-width reduction — no lane slicing
+            mexp = jnp.where(mask_q, mq, mexp)
+        e = jnp.exp(jnp.maximum(s - mexp, -80.0))
         sums = jax.lax.dot_general(
             e, bmap, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )  # [TN, nb]
         sexp = jax.lax.dot_general(
             sums, bmap, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
+        if return_active:
+            # backward callers need the exact jacobian of the CLAMPED
+            # forward: de/ds = e only where the clamp is inactive
+            return e / sexp, (s - mexp > -80.0).astype(jnp.float32)
         return e / sexp
     outs = []
     for j in range(nb):
@@ -148,7 +163,8 @@ def _blockwise_softmax_lastaxis(s, block, bmap=None):
         m = jnp.max(blk, axis=-1, keepdims=True)
         p = jnp.exp(blk - m)
         outs.append(p / jnp.sum(p, axis=-1, keepdims=True))
-    return jnp.concatenate(outs, axis=-1)
+    p = jnp.concatenate(outs, axis=-1)
+    return (p, jnp.ones_like(p)) if return_active else p
 
 
 # Naive-liveness VMEM budget for the point-tile chooser. Calibrated against
@@ -501,6 +517,10 @@ def _pool_bwd_kernel(
     )  # [N, J]
     m = jnp.max(s, axis=0, keepdims=True)
     e = jnp.exp(jnp.maximum(s - m, -80.0))  # clamp: VPU exp NaN guard
+    # exact jacobian of the CLAMPED forward: de/ds = e only where the clamp
+    # is inactive (see the _blockwise_softmax_lastaxis docstring for the
+    # divergence a wrong clamp jacobian caused)
+    act = (s - m > -80.0).astype(jnp.float32)
     denom = jnp.sum(e, axis=0, keepdims=True)
     # probabilities kept bf16 (the fp32 [N, J] copy would overflow VMEM at
     # flagship shapes); the softmax-backward inner products run fp32
@@ -553,9 +573,11 @@ def _pool_bwd_kernel(
             p_b[:, h * i : (h + 1) * i], dpool_h, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ).astype(y.dtype)  # [N, D]
-        # softmax over N backward, per column
+        # softmax over N backward, per column (clamp-masked jacobian)
         t_h = jnp.sum(dp_h * p_h, axis=0, keepdims=True)  # [1, I]
-        ds_h = (p_h * (dp_h - t_h)).astype(y.dtype)  # [N, I]
+        ds_h = (
+            p_h * (dp_h - t_h) * act[:, h * i : (h + 1) * i]
+        ).astype(y.dtype)  # [N, I]
         # s = y @ qf
         dy += jax.lax.dot_general(
             ds_h, qf_ref[:, h * i : (h + 1) * i], (((1,), (1,)), ((), ())),
@@ -1119,7 +1141,11 @@ def _pool_ext_bwd_kernel(
     def _():
         inv_s = 1.0 / sacc_ref[0]
         p = e * inv_s  # [TN, J] fp32
-        ds = p * (dp - tacc_scratch[:])
+        # clamp-masked jacobian: de/ds = 0 where exp's -80 clamp bound the
+        # recompute (exact backward of the actually-computed forward)
+        ds = p * (dp - tacc_scratch[:]) * (s - macc_ref[0] > -80.0).astype(
+            jnp.float32
+        )
         ds_b = ds.astype(y.dtype)
         p_b = p.astype(y.dtype)
         dy = jax.lax.dot_general(
@@ -1196,7 +1222,11 @@ def _pool_ext_bwd_impl(x, se, be, ind2, kvw, wo, g_h0, macc, sacc, num_heads):
             pltpu.VMEM((1, j), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary", "arbitrary")
+            # the batch axis must be sequential: dqf/dwv/dwo accumulate
+            # ACROSS batch elements into constant-index output blocks
+            # (zeroed at bi==0) — cross-iteration dependencies along a
+            # "parallel" axis are undefined (same reasoning as _mlp_bwd)
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary")
         ),
         interpret=_interpret(),
     )(
@@ -1527,7 +1557,7 @@ def _unpool_bwd_kernel(
         y, kf_scratch[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    p = _blockwise_softmax_lastaxis(s, i, bmap)
+    p, act = _blockwise_softmax_lastaxis(s, i, bmap, return_active=True)
     p_b = p.astype(y.dtype)
     attn = jax.lax.dot_general(
         p_b, vf_scratch[:], (((1,), (0,)), ((), ())),
@@ -1555,7 +1585,7 @@ def _unpool_bwd_kernel(
     t_exp = jax.lax.dot_general(
         t, bmap, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    ds = p * (dp - t_exp)
+    ds = p * (dp - t_exp) * act  # clamp-masked jacobian (see softmax docstring)
     ds_b = ds.astype(y.dtype)
 
     dy = jax.lax.dot_general(

@@ -103,6 +103,12 @@ def main():
     )
     ap.add_argument("--lr", type=float, default=3e-4)
     ap.add_argument("--warmup", type=int, default=1000)
+    ap.add_argument(
+        "--remat", action="store_true",
+        help="per-layer rematerialisation: required for --attn-impl xla at "
+        "batch 48 (plain attention OOMs HBM without it); the fused-kernel "
+        "path fits without and runs ~14%% faster",
+    )
     args = ap.parse_args()
 
     from gecco_tpu import Diffusion, GaussianReparam, LogUniformSchedule
@@ -116,7 +122,7 @@ def main():
     backbone = SetTransformer.init(
         bk, n_layers=6, feature_dim=384, num_inducers=64, embed_dim=1,
         num_heads=8, compute_dtype=jnp.bfloat16, attn_impl=args.attn_impl,
-        remat=False,  # fits HBM with the fused-kernel residuals; ~14% faster
+        remat=args.remat,
     )
     net = UnconditionalPointNetwork.init(nk, backbone, feature_dim=384)
     sched = LogUniformSchedule(

@@ -625,3 +625,94 @@ def test_fused_8k_path_uses_tiled_pool(monkeypatch):
     gx = jax.grad(lambda m, xx: (m(xx, embed).astype(jnp.float32) ** 2).sum())(st_x, x)
     for a, t in zip(jax.tree.leaves(g), jax.tree.leaves(gx)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(t), rtol=5e-3, atol=5e-4)
+
+
+def test_tile_chooser_vmem_budget():
+    """The VMEM-budget-aware tile chooser: flagship shapes keep their
+    round-2 tiles; the 8k config's widths shrink them; the 8k MLP backward
+    (fixed fp32 weight-grad blocks alone exceed VMEM) reports unfit and
+    gates to the XLA twin."""
+    from gecco_tpu.ops.pallas import folded_attention as fa
+
+    # flagship: C=384, J=512, W=1536 at N=2048 — unchanged from round 2
+    assert fa._pick_tile_n(2048, fa._unpool_row_bytes(384, 512),
+                           fa._unpool_fixed_bytes(384, 512, 64)) == 1024
+    assert fa._pick_tile_n(2048, fa._mlp_row_bytes(384, 1536),
+                           fa._mlp_fixed_bytes(384, 1536)) == 1024
+    assert fa._pick_tile_n(2048, fa._mlp_bwd_row_bytes(384, 1536),
+                           fa._mlp_bwd_fixed_bytes(384, 1536), cap=512) == 512
+    # 8k config: C=768, J=1024, W=3072 at N=8192 — tiles shrink
+    assert fa._pick_tile_n(8192, fa._unpool_row_bytes(768, 1024),
+                           fa._unpool_fixed_bytes(768, 1024, 64)) == 512
+    assert fa._pick_tile_n(8192, fa._mlp_row_bytes(768, 3072),
+                           fa._mlp_fixed_bytes(768, 3072)) == 512
+    assert not fa._tile_fits(8192, fa._mlp_bwd_row_bytes(768, 3072),
+                             fa._mlp_bwd_fixed_bytes(768, 3072), cap=512)
+    # no dividing candidate: falls back to n itself
+    assert fa._pick_tile_n(96) == 96
+
+
+def test_forced_small_tiles_match_ref(monkeypatch):
+    """Shrinking the VMEM budget forces non-default point tiles (256/128)
+    through the unpool and MLP kernels, forward AND backward — outputs and
+    gradients must match the XLA twins (exercises the tile sizes the 8k
+    config picks, at CPU-interpret-friendly widths)."""
+    from gecco_tpu.ops.pallas import folded_attention as fa
+
+    monkeypatch.setattr(fa, "_VMEM_NAIVE_BUDGET", 2 * 1024 * 1024)
+    c, heads, i, b, n, w = 96, 4, 64, 2, 1024, 384
+    key = iter(jax.random.split(jax.random.PRNGKey(3), 12))
+    x = jax.random.normal(next(key), (b, n, c))
+    se = 1.0 + 0.1 * jax.random.normal(next(key), (b, c))
+    be = 0.1 * jax.random.normal(next(key), (b, c))
+    k = jax.random.normal(next(key), (b, i, c))
+    v = jax.random.normal(next(key), (b, i, c))
+    wq = jax.random.normal(next(key), (c, c)) / c**0.5
+    wo = jax.random.normal(next(key), (c, c)) / c**0.5
+    j = heads * i
+
+    # the shrunken budget must force small tiles yet stay kernel-eligible
+    assert fa._pick_tile_n(n, fa._unpool_row_bytes(c, j),
+                           fa._unpool_fixed_bytes(c, j, i)) == 256
+    assert fa._tile_fits(n, fa._unpool_bwd_row_bytes(c, j),
+                         fa._unpool_bwd_fixed_bytes(c, j, i), cap=512)
+    assert fa._tile_fits(n, fa._mlp_bwd_row_bytes(c, w),
+                         fa._mlp_bwd_fixed_bytes(c, w), cap=512)
+
+    args = (x, se, be, k, v, wq, wo)
+    out, sums = fa.folded_unpool(*args, heads)
+    ref, ref_sums = fa._unpool_ref(*args, heads)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sums), np.asarray(ref_sums), rtol=1e-3, atol=1e-3)
+
+    def uloss(fn):
+        def f(*a):
+            o, s = fn(*a, heads)
+            return (o.astype(jnp.float32) ** 2).sum() + (s**2).sum() * 1e-3
+        return f
+
+    ga = jax.grad(uloss(fa.folded_unpool), argnums=(0, 1, 2, 3, 4, 5, 6))(*args)
+    gb = jax.grad(uloss(fa._unpool_ref), argnums=(0, 1, 2, 3, 4, 5, 6))(*args)
+    for a, t in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(t), rtol=5e-3, atol=5e-4)
+
+    w1t = jax.random.normal(next(key), (c, w)) / c**0.5
+    b1 = 0.1 * jax.random.normal(next(key), (1, w))
+    w2t = jax.random.normal(next(key), (w, c)) / w**0.5
+    b2 = 0.1 * jax.random.normal(next(key), (1, c))
+    margs = (x, se, be, w1t, b1, w2t, b2)
+    mo, ms = fa.fused_mlp_residual(*margs)
+    ro, rs = fa._mlp_ref(*margs)
+    np.testing.assert_allclose(np.asarray(mo), np.asarray(ro), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ms), np.asarray(rs), rtol=1e-3, atol=1e-3)
+
+    def mloss(fn):
+        def f(*a):
+            o, s = fn(*a)
+            return (o.astype(jnp.float32) ** 2).sum() + (s**2).sum() * 1e-3
+        return f
+
+    ga = jax.grad(mloss(fa.fused_mlp_residual), argnums=(0, 1, 2, 3, 4, 5, 6))(*margs)
+    gb = jax.grad(mloss(fa._mlp_ref), argnums=(0, 1, 2, 3, 4, 5, 6))(*margs)
+    for a, t in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(t), rtol=5e-3, atol=5e-4)

@@ -141,3 +141,18 @@ def test_upsample_statistics():
     )
     assert out.shape == (2, 48, 3)
     np.testing.assert_allclose(float(out.std()), S_DATA, rtol=0.2)
+
+
+def test_upsample_unaligned_n_new():
+    """n_new need not be a multiple of the fused kernels' 128-point tile:
+    upsample generates up to the next multiple internally (points are
+    exchangeable, so this is exact) and slices back — the reference's
+    n_new=100_000 notebook protocol works verbatim."""
+    model = _model(n_steps=16)
+    data = S_DATA * jax.random.normal(jax.random.PRNGKey(13), (2, 64, 3))
+    out = jax.jit(lambda m, k, d: m.upsample(k, d, 200, n_substeps=1))(
+        model, jax.random.PRNGKey(14), data
+    )
+    assert out.shape == (2, 200, 3)
+    assert np.isfinite(np.asarray(out)).all()
+    np.testing.assert_allclose(float(out.std()), S_DATA, rtol=0.2)
