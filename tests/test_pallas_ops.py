@@ -716,3 +716,42 @@ def test_forced_small_tiles_match_ref(monkeypatch):
     gb = jax.grad(mloss(fa._mlp_ref), argnums=(0, 1, 2, 3, 4, 5, 6))(*margs)
     for a, t in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(t), rtol=5e-3, atol=5e-4)
+
+
+def test_unpool_softmax_per_head_scale_drift():
+    """Regression for the round-3 divergence: per-head logit scales drift
+    apart during training; each head-block's softmax must be computed with
+    ITS OWN maximum. Here one head's logits sit ~hundreds below another's —
+    a shared global row max would clamp the weak head's block to uniform
+    probabilities and zero/garbage gradients. Outputs AND gradients must
+    match the XLA twin."""
+    from gecco_tpu.ops.pallas import folded_attention as fa
+
+    c, heads, i, b, n = 128, 4, 16, 2, 256
+    key = iter(jax.random.split(jax.random.PRNGKey(5), 10))
+    x = jax.random.normal(next(key), (b, n, c))
+    se = jnp.ones((b, c))
+    be = jnp.zeros((b, c))
+    # scale k per head: head 0 huge logits, head 3 tiny — spread >> 80
+    head_scale = jnp.repeat(jnp.array([60.0, 1.0, 0.1, 0.01]), c // heads)
+    k = jax.random.normal(next(key), (b, i, c)) * head_scale[None, None, :]
+    v = jax.random.normal(next(key), (b, i, c))
+    wq = jax.random.normal(next(key), (c, c)) / c**0.5
+    wo = jax.random.normal(next(key), (c, c)) / c**0.5
+
+    args = (x, se, be, k, v, wq, wo)
+    out, sums = fa.folded_unpool(*args, heads)
+    ref, ref_sums = fa._unpool_ref(*args, heads)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+    def loss(fn):
+        def f(*a):
+            o, s = fn(*a, heads)
+            return (o.astype(jnp.float32) ** 2).sum() + (s**2).sum() * 1e-3
+        return f
+
+    ga = jax.grad(loss(fa.folded_unpool), argnums=(0, 3, 4, 5, 6))(*args)
+    gb = jax.grad(loss(fa._unpool_ref), argnums=(0, 3, 4, 5, 6))(*args)
+    for a, t in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+        a, t = np.asarray(a, np.float32), np.asarray(t, np.float32)
+        np.testing.assert_allclose(a, t, rtol=5e-3, atol=5e-3 * np.abs(t).max())
