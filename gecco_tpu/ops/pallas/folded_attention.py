@@ -219,6 +219,15 @@ def _pool_ext_fixed_bytes(c, j, d):
     return 8 * c * c + 2 * c * j + 4 * j * j + 4 * j * d  # kvw/wo, qf, eye(j), pacc
 
 
+def _pool_ext_wfold_row_bytes(c, j):
+    return 8 * c + 10 * j  # x/y rows + s/e/e_b planes (no v stream)
+
+
+def _pool_ext_wfold_fixed_bytes(c, j, num_heads):
+    # wf bf16 [H*C, C] + qf + eye(j) + uacc fp32 [J, C]
+    return 2 * num_heads * c * c + 2 * c * j + 4 * j * j + 4 * j * c
+
+
 def _pool_ext_bwd_row_bytes(c, j):
     return 16 * c + 22 * j  # recompute rows + dp/p/ds planes (two passes)
 
@@ -230,7 +239,9 @@ def _pool_ext_bwd_fixed_bytes(c, j, d):
 
 
 def _unpool_row_bytes(c, j):
-    return 12 * c + 12 * j  # x/y/attn/out rows + s/p planes
+    # x/attn/out rows + s/p planes (the pre-norm y plane is folded into the
+    # per-batch kf/brow scratch — no per-tile affine pass)
+    return 8 * c + 12 * j
 
 
 def _unpool_fixed_bytes(c, j, i):
@@ -892,6 +903,84 @@ def _eye(n: int, dtype=jnp.float32) -> jnp.ndarray:
     ).astype(dtype)
 
 
+def _fold_wf(kvw, wo, num_heads: int) -> jnp.ndarray:
+    """[H*C, C] folded value-side operand: ``wf[h*C+q, o] = sum_d
+    Wv_h[d, q] * Wo_h[o, d]`` with ``Wv_h = kvw[C+h*D : C+(h+1)*D]`` and
+    ``Wo_h = wo[:, h*D:(h+1)*D]``. With Wv and Wo folded, the kernel's online
+    value accumulator becomes ``U = E^T Y`` [J, C] — ONE full-width MXU pass
+    per point tile instead of a v-projection plus 8 narrow [TN,I]x[TN,D]
+    head dots whose 64x48 output tiles pad to the 128x128 MXU tile (~19%
+    utilization). The [I, C] pooled output is recovered once per batch as
+    ``sum_h Unorm_h @ wf_h`` — exact algebra, same h0."""
+    c = kvw.shape[1]
+    d = c // num_heads
+    return (
+        jnp.einsum(
+            "hdq,ohd->hqo",
+            kvw[c:].astype(jnp.float32).reshape(num_heads, d, c),
+            wo.astype(jnp.float32).reshape(c, num_heads, d),
+        )
+        .reshape(num_heads * c, c)
+        .astype(kvw.dtype)
+    )
+
+
+def _pool_ext_kernel_wfold(
+    x_ref, se_ref, be_ref, qf_ref, wf_ref, eyej_ref,
+    h0_ref, macc_ref, sacc_ref,
+    uacc_scratch,
+    *, num_heads: int, num_inducers: int,
+):
+    ni = pl.program_id(1)
+    nt = pl.num_programs(1)
+    x = x_ref[0]  # [TN, C]
+    c = x.shape[-1]
+    i = num_inducers
+
+    @pl.when(ni == 0)
+    def _():
+        macc_ref[0] = jnp.full_like(macc_ref[0], -3.0e38)
+        sacc_ref[0] = jnp.zeros_like(sacc_ref[0])
+        uacc_scratch[:] = jnp.zeros_like(uacc_scratch)
+
+    y = (x.astype(jnp.float32) * se_ref[0] + be_ref[0]).astype(x.dtype)
+    s = jax.lax.dot_general(
+        y, qf_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [TN, J]
+    tile_max = jnp.max(s, axis=0, keepdims=True)  # full-width sublane reduce
+    m_old = macc_ref[0]
+    m_new = jnp.maximum(m_old, tile_max)
+    corr = jnp.exp(jnp.maximum(m_old - m_new, -80.0))  # [1, J]
+    e = jnp.exp(jnp.maximum(s - m_new, -80.0))
+    macc_ref[0] = m_new
+    sacc_ref[0] = sacc_ref[0] * corr + jnp.sum(e, axis=0, keepdims=True)
+    # [1, J] -> [J, 1] via an identity matmul (Mosaic-safe transpose)
+    corr_col = jax.lax.dot_general(
+        eyej_ref[:], corr, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    uacc_scratch[:] = uacc_scratch[:] * corr_col + jax.lax.dot_general(
+        e.astype(y.dtype), y, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # U += E^T Y, [J, C]
+
+    @pl.when(ni == nt - 1)
+    def _():
+        inv_col = jax.lax.dot_general(
+            eyej_ref[:], 1.0 / sacc_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [J, 1]
+        unorm = (uacc_scratch[:] * inv_col).astype(y.dtype)  # [J, C]
+        acc = jnp.zeros((i, c), jnp.float32)
+        for h in range(num_heads):
+            acc += jax.lax.dot_general(
+                unorm[h * i : (h + 1) * i, :], wf_ref[h * c : (h + 1) * c, :],
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            )  # [I, C]
+        h0_ref[0] = acc.astype(h0_ref.dtype)
+
+
 def _pool_ext_kernel(
     x_ref, se_ref, be_ref, qf_ref, kvw_ref, wo_ref, eyej_ref,
     h0_ref, macc_ref, sacc_ref,
@@ -963,9 +1052,55 @@ def _pool_ext_impl(x, se, be, ind2, kvw, wo, num_heads):
     b, n, c = x.shape
     j, d = ind2.shape
     i = j // num_heads
+    qf = _fold_qf(ind2, kvw, num_heads).astype(x.dtype)
+    # prefer the folded value-side formulation (one full-width E^T Y pass per
+    # tile); its fixed VMEM cost is H*C^2 (the wf operand), which does not fit
+    # at 8k-config widths — fall back to the v-stream kernel there
+    wfold_ok = _tile_fits(
+        n, _pool_ext_wfold_row_bytes(c, j),
+        _pool_ext_wfold_fixed_bytes(c, j, num_heads),
+    )
+    if wfold_ok:
+        tn = _pick_tile_n(n, row_bytes=_pool_ext_wfold_row_bytes(c, j),
+                          fixed_bytes=_pool_ext_wfold_fixed_bytes(c, j, num_heads))
+        wf = _fold_wf(kvw, wo, num_heads)
+        h0, macc, sacc = pl.pallas_call(
+            functools.partial(
+                _pool_ext_kernel_wfold,
+                num_heads=num_heads,
+                num_inducers=i,
+            ),
+            grid=(b, n // tn),
+            in_specs=[
+                pl.BlockSpec((1, tn, c), lambda bi, ni: (bi, ni, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, c), lambda bi, ni: (bi, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, c), lambda bi, ni: (bi, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((c, j), lambda bi, ni: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((num_heads * c, c), lambda bi, ni: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((j, j), lambda bi, ni: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, i, c), lambda bi, ni: (bi, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, j), lambda bi, ni: (bi, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, j), lambda bi, ni: (bi, 0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((b, i, c), x.dtype),
+                jax.ShapeDtypeStruct((b, 1, j), jnp.float32),
+                jax.ShapeDtypeStruct((b, 1, j), jnp.float32),
+            ],
+            scratch_shapes=[pltpu.VMEM((j, c), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary")
+            ),
+            interpret=_interpret(),
+        )(x, se[:, None, :], be[:, None, :], qf, wf, _eye(j))
+        h0 = h0.at[0, 0, 0].add(
+            (0.0 * (macc[0, 0, 0] + sacc[0, 0, 0])).astype(h0.dtype)
+        )
+        return h0, macc, sacc
     tn = _pick_tile_n(n, row_bytes=_pool_ext_row_bytes(c, j),
                       fixed_bytes=_pool_ext_fixed_bytes(c, j, d))
-    qf = _fold_qf(ind2, kvw, num_heads).astype(x.dtype)
     h0, macc, sacc = pl.pallas_call(
         functools.partial(
             _pool_ext_kernel,
@@ -1356,7 +1491,7 @@ folded_pool_ext.defvjp(_pool_ext_fwd, _pool_ext_bwd)
 def _unpool_kernel(
     x_ref, se_ref, be_ref, k_ref, v_ref, wq_ref, wo_ref, bmap_ref,
     o_ref, sums_ref,
-    kf_scratch, vf_scratch,
+    kf_scratch, vf_scratch, brow_scratch,
     *, num_heads: int, scale_qk: float, residual: bool, prenorm: bool,
 ):
     x = x_ref[0]  # [TN, C]
@@ -1367,19 +1502,41 @@ def _unpool_kernel(
     ni = pl.program_id(1)
 
     # fold q/out projections against the inducer-state k/v once per batch
-    # element (scratch persists across the point-tile steps of one batch)
+    # element (scratch persists across the point-tile steps of one batch).
+    # The pre-norm affine is folded in too: with y = x*se + be,
+    # y @ kf == x @ (se-scaled kf) + (be @ kf) — scaling wq's columns by se
+    # before the fold and accumulating the bias row once per batch removes
+    # the [TN, C] convert/FMA/cast pre-norm pass from every point tile.
     @pl.when(ni == 0)
     def _():
         for h in range(num_heads):
             wq_h = wq_ref[h * d : (h + 1) * d, :]  # [D, C]
+            if prenorm:
+                wq_s = (wq_h.astype(jnp.float32) * se_ref[0]).astype(x.dtype)
+            else:
+                wq_s = wq_h
             k_h = k_ref[0][:, h * d : (h + 1) * d]  # [I, D]
             kf_scratch[:, h * i : (h + 1) * i] = (
                 scale_qk
                 * jax.lax.dot_general(
-                    wq_h, k_h, (((0,), (1,)), ((), ())),
+                    wq_s, k_h, (((0,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
             ).astype(kf_scratch.dtype)
+            if prenorm:
+                bq_h = jax.lax.dot_general(
+                    be_ref[0], wq_h.astype(jnp.float32), (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [1, D]
+                brow_scratch[:, h * i : (h + 1) * i] = (
+                    scale_qk
+                    * jax.lax.dot_general(
+                        bq_h, k_h.astype(jnp.float32), (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                )  # [1, I]
+            else:
+                brow_scratch[:, h * i : (h + 1) * i] = jnp.zeros((1, i), jnp.float32)
             v_h = v_ref[0][:, h * d : (h + 1) * d]  # [I, D]
             wo_h = wo_ref[:, h * d : (h + 1) * d]  # [C, D]
             vf_scratch[h * i : (h + 1) * i, :] = jax.lax.dot_general(
@@ -1387,17 +1544,13 @@ def _unpool_kernel(
                 preferred_element_type=jnp.float32,
             ).astype(vf_scratch.dtype)
 
-    if prenorm:
-        y = (x.astype(jnp.float32) * se_ref[0] + be_ref[0]).astype(x.dtype)
-    else:
-        y = x
     s = jax.lax.dot_general(
-        y, kf_scratch[:], (((1,), (0,)), ((), ())),
+        x, kf_scratch[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # [TN, J]
+    ) + brow_scratch[:]  # [TN, J]
     p = _blockwise_softmax_lastaxis(s, i, bmap_ref[:])
     attn = jax.lax.dot_general(
-        p.astype(y.dtype), vf_scratch[:], (((1,), (0,)), ((), ())),
+        p.astype(x.dtype), vf_scratch[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     if residual:
@@ -1454,6 +1607,7 @@ def _unpool_impl(x, se, be, k, v, wq, wo, num_heads, residual=True, prenorm=True
         scratch_shapes=[
             pltpu.VMEM((c, j), x.dtype),
             pltpu.VMEM((j, c), x.dtype),
+            pltpu.VMEM((1, j), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")

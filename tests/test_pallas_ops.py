@@ -572,6 +572,34 @@ def test_folded_pool_ext_matches_ref():
         np.testing.assert_allclose(np.asarray(a), np.asarray(t), rtol=2e-3, atol=2e-4)
 
 
+def test_pool_ext_wfold_vs_vstream_branches(monkeypatch):
+    """_pool_ext_impl has two formulations: the folded value-side kernel
+    (U = E^T Y with Wv@Wo^T pre-folded) and the v-stream kernel it falls
+    back to when H*C^2 exceeds VMEM (the 8k config). Both must agree."""
+    from gecco_tpu.ops.pallas import folded_attention as fa
+
+    c, heads, i, b, n = 96, 4, 16, 2, 384
+    key = iter(jax.random.split(jax.random.PRNGKey(7), 10))
+    x = jax.random.normal(next(key), (b, n, c))
+    se = 1.0 + 0.1 * jax.random.normal(next(key), (b, c))
+    be = 0.1 * jax.random.normal(next(key), (b, c))
+    ind2 = jax.random.normal(next(key), (heads * i, c // heads))
+    kvw = jax.random.normal(next(key), (2 * c, c)) / c**0.5
+    wo = jax.random.normal(next(key), (c, c)) / c**0.5
+    args = (x, se, be, ind2, kvw, wo, heads)
+
+    out_wfold = fa._pool_ext_impl(*args)
+    # force the v-stream fallback by making the wfold fixed tally enormous
+    monkeypatch.setattr(
+        fa, "_pool_ext_wfold_fixed_bytes", lambda *a: 1 << 40
+    )
+    out_vstream = fa._pool_ext_impl(*args)
+    for a, t in zip(out_wfold, out_vstream):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(t), rtol=1e-4, atol=1e-5
+        )
+
+
 def test_folded_pool_bwd_ext_decomposition(monkeypatch):
     """When the resident pool backward exceeds VMEM, folded_pool_layer's vjp
     decomposes into XLA stats + the tiled ext kernels — must match the
@@ -641,9 +669,11 @@ def test_tile_chooser_vmem_budget():
                            fa._mlp_fixed_bytes(384, 1536)) == 1024
     assert fa._pick_tile_n(2048, fa._mlp_bwd_row_bytes(384, 1536),
                            fa._mlp_bwd_fixed_bytes(384, 1536), cap=512) == 512
-    # 8k config: C=768, J=1024, W=3072 at N=8192 — tiles shrink
+    # 8k config: C=768, J=1024, W=3072 at N=8192 — tiles shrink (the unpool
+    # prenorm fold cut its row bytes from 12c+12j to 8c+12j, so its 8k tile
+    # grew back to 1024)
     assert fa._pick_tile_n(8192, fa._unpool_row_bytes(768, 1024),
-                           fa._unpool_fixed_bytes(768, 1024, 64)) == 512
+                           fa._unpool_fixed_bytes(768, 1024, 64)) == 1024
     assert fa._pick_tile_n(8192, fa._mlp_row_bytes(768, 3072),
                            fa._mlp_fixed_bytes(768, 3072)) == 512
     assert not fa._tile_fits(8192, fa._mlp_bwd_row_bytes(768, 3072),
