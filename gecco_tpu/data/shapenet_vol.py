@@ -48,10 +48,10 @@ class TestData(NamedTuple):
     """Raw-geometry extras attached in ``is_testing`` mode so evaluation can
     undo the loc/scale normalisation and the world transform."""
 
-    points_raw: np.ndarray
-    scale: np.ndarray
-    loc: np.ndarray
-    wmat: np.ndarray
+    points_raw: np.ndarray  # full normalised cloud, no subsampling
+    scale: np.ndarray  # per-object denormalisation scale
+    loc: np.ndarray  # per-object denormalisation offset
+    wmat: np.ndarray  # [3, 4] world->camera extrinsics of this view
     category: str
     object_id: str
 
@@ -65,27 +65,17 @@ class ShapeNetVolModel:
     normalised intrinsics (the conditioning stack's input contract).
     """
 
-    def __init__(
-        self,
-        root: str,
-        posed: bool = False,
-        image_conditional: bool = False,
-        n_points: int = 2048,
-        skip_fixed: bool = False,
-        is_testing: bool = False,
-        seed: int = 0,
-    ):
+    def __init__(self, root: str, posed: bool = False,
+                 image_conditional: bool = False, n_points: int = 2048,
+                 skip_fixed: bool = False, is_testing: bool = False,
+                 seed: int = 0):
         if image_conditional and not posed:
             raise ValueError(
                 "image conditioning needs per-view poses: pass posed=True"
             )
-        self.root = root
-        self.posed = posed
-        self.image_conditional = image_conditional
-        self.n_points = n_points
-        self.skip_fixed = skip_fixed
-        self.is_testing = is_testing
-        self.seed = seed
+        self.root, self.posed, self.seed = root, posed, seed
+        self.image_conditional, self.n_points = image_conditional, n_points
+        self.skip_fixed, self.is_testing = skip_fixed, is_testing
         self._camera_cache: Optional[tuple] = None
         self._mask_views: Optional[frozenset] = None
 
@@ -137,9 +127,7 @@ class ShapeNetVolModel:
                 for key in archive.keys()
                 if (m := _MASK_KEY.match(key)) is not None
             )
-        if view not in self._mask_views:
-            return None
-        return archive[f"mask_{view}"]
+        return archive[f"mask_{view}"] if view in self._mask_views else None
 
     # -- geometry -----------------------------------------------------------
 
@@ -162,9 +150,9 @@ class ShapeNetVolModel:
 
     # -- dataset protocol ---------------------------------------------------
 
-    def __len__(self):
+    def __len__(self) -> int:
         if self.skip_fixed and self.is_fixed:
-            return 0
+            return 0  # excluded entirely when fix masks exist
         if self.is_testing or not self.posed:
             return 1
         return self._cameras()[0].shape[0] if self._camera_cache else 24
@@ -184,17 +172,13 @@ class ShapeNetVolModel:
             extras = TestData(raw, scale, loc, wmat, category, object_id)
 
         if not self.image_conditional:
-            return Example(
-                points=points, ctx=Context3d(image=(), K=kmat.copy()), extras=extras
+            ctx = Context3d(image=(), K=kmat.copy())
+        else:
+            image = _read_rgb(
+                os.path.join(self.root, "img_choy2016", f"{index:03d}.jpg")
             )
-        image = _read_rgb(
-            os.path.join(self.root, "img_choy2016", f"{index:03d}.jpg")
-        )
-        return Example(
-            points=points,
-            ctx=Context3d(image=image, K=kmat.copy(), wmat=wmat.copy()),
-            extras=extras,
-        )
+            ctx = Context3d(image=image, K=kmat.copy(), wmat=wmat.copy())
+        return Example(points=points, ctx=ctx, extras=extras)
 
 
 class ShapeNetVolClass(ConcatDataset):
@@ -206,21 +190,15 @@ class ShapeNetVolClass(ConcatDataset):
             object_ids = [ln.strip() for ln in fh if ln.strip()]
         build = partial(ShapeNetVolModel, **kw)
         super().__init__([build(os.path.join(root, oid)) for oid in object_ids])
-        self.root = root
-        self.split = split
+        self.root, self.split = root, split
 
 
 class ShapeNetVol(ConcatDataset):
     """Either every synset under ``root`` for a named split, or an explicit
     list of object paths (ref shapenet_vol.py:244-274)."""
 
-    def __init__(
-        self,
-        root: str,
-        split: Union[str, List[str]],
-        transform: Callable[[Example], Example] = lambda e: e,
-        **kw,
-    ):
+    def __init__(self, root: str, split: Union[str, List[str]],
+                 transform: Callable[[Example], Example] = lambda e: e, **kw):
         if isinstance(split, str):
             synsets = sorted(
                 entry.path for entry in os.scandir(root) if entry.is_dir()
