@@ -127,6 +127,12 @@ class Trainer:
     # run stochastic layers (dropout) deterministically during training — the
     # reference Trainer's flag of the same name (training.py:158, 472-475)
     train_in_inference_mode: bool = False
+    # fetch train losses to the host in batches of this many steps: every
+    # float(loss) is a full round-trip through the axon relay (~35 ms
+    # measured, vs ~65 ms device compute per flagship step), so a per-step
+    # fetch costs ~1.5x in wall clock. Logging/NaN detection lag by at most
+    # this many steps; checkpoint/validation boundaries always flush first.
+    loss_sync_every: int = 10
     initial_step_number: int = 0
     current_best_metric: Dict[str, Tuple[int, float]] = field(default_factory=dict)
 
@@ -345,6 +351,37 @@ class Trainer:
         data = None
         profile_start = None
         t_last = time.perf_counter()
+        # deferred-loss buffer: (step, device loss, host example) — see
+        # ``loss_sync_every``. The host example rides along so NaN forensics
+        # can still dump the batch that produced a buffered non-finite loss.
+        pending: list = []
+
+        def drain_pending():
+            nonlocal loss_ema, loss_avg, t_last, data
+            if not pending:
+                return
+            values = np.asarray(jnp.stack([lo for _, lo, _ in pending]))
+            for (s, _, ex), value in zip(pending, values.tolist()):
+                if not math.isfinite(value):
+                    data = ex  # the except-path dump targets this batch
+                    pending.clear()
+                    raise NaNError(f"NaN loss at step {s}")
+                offset = s - self.initial_step_number
+                loss_avg += (value - loss_avg) / (offset + 1)
+                loss_ema = (
+                    value if loss_ema is None else value * 0.1 + loss_ema * 0.9
+                )
+                logger.add_scalar("train/loss", scalar_value=value, global_step=s)
+                if s % 100 == 0:
+                    now = time.perf_counter()
+                    rate = 100 / (now - t_last) if s > 0 else 0.0
+                    t_last = now
+                    print(
+                        f"step {s} loss_ema {loss_ema:.4f} it/s {rate:.2f}",
+                        flush=True,
+                    )
+            pending.clear()
+
         try:
             data_iter = iter(self.train_dataloader)
             for step_offset, data in enumerate(data_iter):
@@ -375,39 +412,30 @@ class Trainer:
                         step_key,
                     )
 
-                try:
-                    loss_value = float(loss)
-                except Exception as e:
-                    if self.donate_buffers and step == self.initial_step_number:
-                        raise RuntimeError(
-                            "First train step failed at runtime. If the model "
-                            "contains conv buffers (e.g. a ConvNeXt "
-                            "conditioner), the TPU runtime may reject donated "
-                            "executions — retry with "
-                            "Trainer(donate_buffers=False)."
-                        ) from e
-                    raise
-                if not math.isfinite(loss_value):
-                    raise NaNError("NaN loss")
-
-                loss_avg += (loss_value - loss_avg) / (step_offset + 1)
-                loss_ema = (
-                    loss_value
-                    if loss_ema is None
-                    else loss_value * 0.1 + loss_ema * 0.9
-                )
-                logger.add_scalar("train/loss", scalar_value=loss_value, global_step=step)
-
-                if step % 100 == 0:
-                    now = time.perf_counter()
-                    rate = 100 / (now - t_last) if step > 0 else 0.0
-                    t_last = now
-                    print(
-                        f"step {step} loss_ema {loss_ema:.4f} it/s {rate:.2f}",
-                        flush=True,
-                    )
+                pending.append((step, loss, data))
+                if step == self.initial_step_number:
+                    # sync the very first step immediately: the donated-
+                    # buffer rejection (conv-containing models on the axon
+                    # runtime) surfaces here, and deserves its diagnostic
+                    try:
+                        drain_pending()
+                    except NaNError:
+                        raise
+                    except Exception as e:
+                        if self.donate_buffers:
+                            raise RuntimeError(
+                                "First train step failed at runtime. If the "
+                                "model contains conv buffers (e.g. a ConvNeXt "
+                                "conditioner), the TPU runtime may reject "
+                                "donated executions — retry with "
+                                "Trainer(donate_buffers=False)."
+                            ) from e
+                        raise
+                elif len(pending) >= max(1, self.loss_sync_every):
+                    drain_pending()
 
                 if step % self.save_every == (self.save_every - 1):
+                    drain_pending()
                     self.save(CHECKPOINT_SAVE_TEMPLATE.format(step), step)
                     logger.add_scalar(
                         "train/mean_loss",
@@ -419,14 +447,17 @@ class Trainer:
                         self._remove_old_checkpoints(step)
 
                 if step >= self.num_steps:
+                    drain_pending()
                     break
 
                 if self.profile_path is not None and step == 25 and profile_start is not None:
+                    drain_pending()
                     print(
                         f"Timed segment elapsed {time.perf_counter() - profile_start}s."
                     )
                     jax.profiler.stop_trace()
                     return
+            drain_pending()
         except Exception as e:
             if not isinstance(e, KeyboardInterrupt) and data is not None:
                 # crash forensics (training.py:566-569)
