@@ -168,6 +168,50 @@ def test_nan_guard(tmp_path):
     assert os.path.exists(os.path.join(str(tmp_path), "offending-data.npz"))
 
 
+def test_deferred_loss_sync_logs_every_step(tmp_path, monkeypatch):
+    """loss_sync_every batches the host fetches (each float(loss) costs a
+    full relay round-trip on the axon runtime) but must not change WHAT is
+    logged: every step's train/loss appears exactly once, in order, and
+    drains flush at checkpoint boundaries and at loop exit."""
+    import gecco_tpu.train.trainer as trainer_mod
+
+    records = []
+
+    class RecordingWriter:
+        def add_scalar(self, tag, scalar_value, global_step):
+            records.append((tag, float(scalar_value), int(global_step)))
+
+        def close(self):
+            pass
+
+    monkeypatch.setattr(trainer_mod, "make_writer", lambda _: RecordingWriter())
+
+    def run(sync_every):
+        records.clear()
+        ds = BlobDataset()
+        trainer = Trainer(
+            model=lambda key: make_model(key),
+            train_dataloader=dataloader(ds, batch_size=8, num_steps=11, num_workers=1),
+            val_dataloader=dataloader(ds, batch_size=8, fixed_sampler=True, num_workers=1),
+            save_path=str(tmp_path / f"sync{sync_every}"),
+            save_every=4,
+            num_steps=11,
+            optimizer=optax.adam(1e-3),
+            n_validation_batches=1,
+            skip_smoke_test=True,
+            loss_sync_every=sync_every,
+            seed=7,
+        )
+        trainer._init_opt_state()
+        trainer.fit()
+        return [r for r in records if r[0] == "train/loss"]
+
+    per_step = run(1)
+    deferred = run(5)
+    assert [s for _, _, s in deferred] == list(range(11))
+    assert deferred == per_step  # identical values and order
+
+
 def test_best_metric_checkpoints(tmp_path):
     """Chamfer-named metrics trigger best-checkpoint saves with the
     reference's create/delete semantics (training.py:377-427)."""
