@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
 import jax
@@ -104,6 +105,19 @@ def main():
     ap.add_argument("--lr", type=float, default=3e-4)
     ap.add_argument("--warmup", type=int, default=1000)
     ap.add_argument(
+        "--final-eval-solver-steps", type=int, default=0,
+        help="if set, run one extra evaluation of the final EMA with this "
+        "many Heun steps (the periodic evals use --sampler-steps=64 for "
+        "speed; the flagship protocol is 128 — reference "
+        "infer_unconditional/__main__.py:61)",
+    )
+    ap.add_argument(
+        "--save-ema", default="",
+        help="directory to orbax-save the final EMA tree into (restorable "
+        "with orbax StandardCheckpointer against an abstract tree of the "
+        "same model); empty = don't save",
+    )
+    ap.add_argument(
         "--remat", action="store_true",
         help="per-layer rematerialisation: required for --attn-impl xla at "
         "batch 48 (plain attention OOMs HBM without it); the fused-kernel "
@@ -157,7 +171,7 @@ def main():
         lambda m, k: m.sample(k, (args.eval_clouds, args.n_points, 3))
     )
 
-    def evaluate(ema_model, step_no, t_start):
+    def evaluate(ema_model, step_no, t_start, extra=None):
         samples = np.asarray(sample_fn(ema_model, jax.random.PRNGKey(step_no)))
         ss = np.asarray(batched_pairwise_distance(samples, samples, chamfer_distance))
         sd = np.asarray(batched_pairwise_distance(samples, heldout, chamfer_distance))
@@ -170,6 +184,8 @@ def main():
             "mmd": mmd(sd),
             "cov": cov(sd),
         }
+        if extra:
+            rec.update(extra)
         with open(args.out, "a") as f:
             f.write(json.dumps(rec) + "\n")
         print(rec, flush=True)
@@ -186,6 +202,26 @@ def main():
             print(f"step {i} loss {losses[-1]:.4f}", flush=True)
         if (i + 1) % args.eval_every == 0 or i + 1 == args.steps:
             evaluate(ema, i + 1, t0)
+
+    if args.final_eval_solver_steps:
+        # n_solver_steps is a static field, so this retraces sample_fn once
+        ema_full = ema.replace(
+            schedule=ema.schedule.replace(
+                n_solver_steps=args.final_eval_solver_steps
+            )
+        )
+        evaluate(
+            ema_full, args.steps, t0,
+            extra={"final_eval_solver_steps": args.final_eval_solver_steps},
+        )
+
+    if args.save_ema:
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(os.path.abspath(os.path.join(args.save_ema, "ema")), ema)
+        ckptr.wait_until_finished()
+        print(f"saved final EMA under {args.save_ema}/ema", flush=True)
 
 
 if __name__ == "__main__":
