@@ -575,7 +575,16 @@ class SetTransformer:
         hs: Optional[jnp.ndarray] = None,
         return_h: bool = False,
         key: Optional[jax.Array] = None,
+        in_sums: Optional[jnp.ndarray] = None,
+        with_sums: bool = False,
     ):
+        """``in_sums`` (optional ``[B, 2, C]`` fp32): channel sums (s1, s2
+        over tokens) of ``features`` — lets the caller start the
+        free-statistics chain without the one-time XLA stats pass over the
+        [B, N, C] stream (the wrappers derive them analytically from the
+        [B, N, 3] second moments of the raw points). ``with_sums=True``
+        additionally returns the OUTPUT's channel sums (or None off the
+        fused chain) so the caller's head norm is also stats-pass-free."""
         in_dtype = features.dtype
         x = features.astype(self.compute_dtype)
         embed = embed.astype(self.compute_dtype)
@@ -600,8 +609,13 @@ class SetTransformer:
 
         if hs is None:
             if chain_sums:
-                xf = x.astype(jnp.float32)
-                sums0 = jnp.stack([xf.sum(axis=1), (xf * xf).sum(axis=1)], axis=1)
+                if in_sums is not None:
+                    sums0 = in_sums.astype(jnp.float32)
+                else:
+                    xf = x.astype(jnp.float32)
+                    sums0 = jnp.stack(
+                        [xf.sum(axis=1), (xf * xf).sum(axis=1)], axis=1
+                    )
                 carry0 = (x, sums0)
             else:
                 carry0 = x
@@ -641,7 +655,10 @@ class SetTransformer:
             if self.remat:
                 body = jax.checkpoint(body)
             carry, stored = jax.lax.scan(body, carry0, xs)
-            x = carry[0] if chain_sums else carry
+            if chain_sums:
+                x, out_sums = carry
+            else:
+                x, out_sums = carry, None
         else:
 
             def body_cached(x, layer_and_h):
@@ -657,8 +674,11 @@ class SetTransformer:
 
             x, stored = jax.lax.scan(body_cached, x, (self.layers, hs))
             stored = hs if return_h else None
+            out_sums = None
 
         x = x.astype(in_dtype)
+        if with_sums:
+            return (x, stored, out_sums) if return_h else (x, out_sums)
         if return_h:
             return x, stored
         return x

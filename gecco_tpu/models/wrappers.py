@@ -29,6 +29,69 @@ __all__ = [
 ]
 
 
+def _embed_channel_sums(linear: Linear, x: jnp.ndarray) -> jnp.ndarray:
+    """Channel sums ``[B, 2, C]`` (s1, s2 over tokens) of ``linear(x)``,
+    derived from the [B, N, D] first/second moments of ``x`` instead of a
+    stats pass over the [B, N, C] embedded stream.
+
+    With ``f = x @ W^T + b``: ``s1 = (sum_t x) @ W^T + n b`` and
+    ``s2_c = w_c M w_c^T + 2 b_c (sum_t x . w_c) + n b_c^2`` where
+    ``M = sum_t x_t x_t^T`` is [B, D, D] (D=3: tiny). This seeds the fused
+    kernels' free-statistics chain without touching the wide stream; it sums
+    the exact fp32 embed output where the in-stream pass summed the
+    bf16-cast stream — an O(bf16 eps) statistics difference, inside the
+    fused path's existing tolerance vs its XLA twin.
+    """
+    xf = x.astype(jnp.float32)
+    n = xf.shape[-2]
+    w = linear.weight.astype(jnp.float32)  # [C, D]
+    s1_d = xf.sum(-2)  # [B, D]
+    m = jnp.einsum("bni,bnj->bij", xf, xf)  # [B, D, D]
+    proj = s1_d @ w.T  # [B, C]
+    wm = jnp.einsum("ci,bij->bcj", w, m)  # [B, C, D]
+    s2 = (wm * w[None]).sum(-1)
+    if linear.bias is not None:
+        b = linear.bias.astype(jnp.float32)
+        s1 = proj + n * b
+        s2 = s2 + 2.0 * b * proj + n * b * b
+    else:
+        s1 = proj
+    return jnp.stack([s1, s2], axis=1)
+
+
+def _folded_head(
+    proj: Linear, num_groups: int, x: jnp.ndarray, sums: jnp.ndarray
+) -> jnp.ndarray:
+    """GroupNorm -> Linear output head with the normalisation folded into
+    per-batch projection weights and statistics taken from kernel-emitted
+    channel sums: ``((x - m) * inv) @ W^T + b = x @ (inv * W^T) + b'``.
+    One einsum over the [B, N, C] stream replaces the stats pass + normed
+    copy + separate projection (each sequential XLA fusion costs ~0.44 ms
+    on the axon relay — BASELINE.md measurement notes)."""
+    b_, n, c = x.shape
+    g = num_groups
+    pg = c // g
+    sums = sums.astype(jnp.float32)
+    g1 = sums[:, 0].reshape(b_, g, pg).sum(-1)
+    g2 = sums[:, 1].reshape(b_, g, pg).sum(-1)
+    count = n * pg
+    mean = g1 / count
+    var = g2 / count - mean**2
+    inv = jax.lax.rsqrt(jnp.maximum(var, 0.0) + 1e-5)
+    mean_c = jnp.repeat(mean, pg, axis=-1)  # [B, C]
+    inv_c = jnp.repeat(inv, pg, axis=-1)
+    w = proj.weight.astype(jnp.float32)  # [D_out, C]
+    wb = inv_c[:, :, None] * w.T[None]  # [B, C, D_out]
+    bias = -jnp.einsum("bc,dc->bd", mean_c * inv_c, w)
+    if proj.bias is not None:
+        bias = bias + proj.bias.astype(jnp.float32)
+    y = jnp.einsum(
+        "bnc,bcd->bnd", x, wb.astype(x.dtype),
+        preferred_element_type=jnp.float32,
+    )
+    return y + bias[:, None, :]
+
+
 @module
 class UnconditionalPointNetwork:
     """xyz embed -> backbone -> GroupNorm -> Linear head
@@ -54,7 +117,13 @@ class UnconditionalPointNetwork:
             output_proj=Linear.init(next(keys), feature_dim, geometry_dim),
         )
 
-    def _head(self, processed: jnp.ndarray, out_dtype) -> jnp.ndarray:
+    def _head(
+        self, processed: jnp.ndarray, out_dtype, sums: Optional[jnp.ndarray] = None
+    ) -> jnp.ndarray:
+        if sums is not None:
+            return _folded_head(
+                self.output_proj, self.output_norm_groups, processed, sums
+            ).astype(out_dtype)
         normed = group_norm(processed, num_groups=self.output_norm_groups)
         return self.output_proj(normed).astype(out_dtype)
 
@@ -70,11 +139,18 @@ class UnconditionalPointNetwork:
         del ctx
         features = self.xyz_embed(x)  # [B, N, C]
         embed = t[..., None]  # [B, 1] — raw noise level as the embed vector
-        out = self.backbone(features, embed, hs=hs, return_h=return_h, key=key)
+        # seed the free-statistics chain analytically (dead code off the
+        # fused chain — the backbone ignores in_sums there and XLA DCEs it)
+        in_sums = _embed_channel_sums(self.xyz_embed, x)
+        out = self.backbone(
+            features, embed, hs=hs, return_h=return_h, key=key,
+            in_sums=in_sums, with_sums=True,
+        )
         if return_h:
-            processed, stored = out
-            return self._head(processed, x.dtype), stored
-        return self._head(out, x.dtype)
+            processed, stored, fsums = out
+            return self._head(processed, x.dtype, fsums), stored
+        processed, fsums = out
+        return self._head(processed, x.dtype, fsums)
 
 
 # The torch package calls this wrapper LinearLift (linear_lift.py:7); same
@@ -120,13 +196,24 @@ class GlobalConditioningNetwork:
         embed = jnp.concatenate([t[..., None], img_embed], axis=-1)
 
         features = self.xyz_embed(x)
-        out = self.backbone(features, embed, hs=hs, return_h=return_h, key=key)
+        in_sums = _embed_channel_sums(self.xyz_embed, x)
+        out = self.backbone(
+            features, embed, hs=hs, return_h=return_h, key=key,
+            in_sums=in_sums, with_sums=True,
+        )
         if return_h:
-            processed, stored = out
+            processed, stored, fsums = out
+        else:
+            processed, fsums = out
+            stored = None
+        if fsums is not None:
+            y = _folded_head(
+                self.output_proj, self.output_norm_groups, processed, fsums
+            ).astype(x.dtype)
+        else:
             normed = group_norm(processed, num_groups=self.output_norm_groups)
-            return self.output_proj(normed).astype(x.dtype), stored
-        normed = group_norm(out, num_groups=self.output_norm_groups)
-        return self.output_proj(normed).astype(x.dtype)
+            y = self.output_proj(normed).astype(x.dtype)
+        return (y, stored) if return_h else y
 
 
 @module
@@ -192,10 +279,21 @@ class RayNetwork:
         features = xyz_features + img_features
         embed = t[..., None]
 
-        out = self.backbone(features, embed, hs=hs, return_h=return_h, key=key)
+        # no analytic in_sums here: features include the projective lookup,
+        # so seeding the stats chain needs the in-stream pass anyway
+        out = self.backbone(
+            features, embed, hs=hs, return_h=return_h, key=key, with_sums=True
+        )
         if return_h:
-            processed, stored = out
+            processed, stored, fsums = out
+        else:
+            processed, fsums = out
+            stored = None
+        if fsums is not None:
+            y = _folded_head(
+                self.output_proj, self.output_norm_groups, processed, fsums
+            ).astype(x.dtype)
+        else:
             normed = group_norm(processed, num_groups=self.output_norm_groups)
-            return self.output_proj(normed).astype(x.dtype), stored
-        normed = group_norm(out, num_groups=self.output_norm_groups)
-        return self.output_proj(normed).astype(x.dtype)
+            y = self.output_proj(normed).astype(x.dtype)
+        return (y, stored) if return_h else y

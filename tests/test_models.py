@@ -165,3 +165,65 @@ def test_bf16_compute_dtype():
     y = st(x, jnp.ones((2, 1)))
     assert y.dtype == x.dtype  # cast back at the boundary
     assert np.isfinite(np.asarray(y, dtype=np.float32)).all()
+
+
+def test_folded_head_matches_groupnorm_head():
+    """The stats-free output head (wrappers._folded_head consuming the
+    kernel-emitted channel sums) must equal GroupNorm -> Linear, and the
+    analytic layer-0 sums (wrappers._embed_channel_sums) must equal the
+    in-stream stats pass — the exact-algebra contract of the fold."""
+    from gecco_tpu.models.wrappers import _embed_channel_sums, _folded_head
+    from gecco_tpu.ops.norms import group_norm
+
+    key = jax.random.PRNGKey(40)
+    bk, nk, xk = jax.random.split(key, 3)
+    backbone = SetTransformer.init(
+        bk, n_layers=2, feature_dim=64, num_inducers=8, embed_dim=1,
+        num_heads=4, compute_dtype=jnp.float32, attn_impl="folded_pallas",
+    )
+    net = UnconditionalPointNetwork.init(nk, backbone, feature_dim=64)
+    x = jax.random.normal(xk, (3, 128, 3), jnp.float32)
+    t = jnp.full((3,), 0.7)
+
+    # forward: new path vs manual old head on the same backbone output
+    y_new = net(t, x)
+    feats = net.xyz_embed(x)
+    out_old = backbone(feats, t[..., None])
+    y_old = net.output_proj(group_norm(out_old, 32)).astype(x.dtype)
+    np.testing.assert_allclose(np.asarray(y_new), np.asarray(y_old), atol=3e-5)
+
+    # analytic in_sums == in-stream sums of the embedded features
+    s_analytic = np.asarray(_embed_channel_sums(net.xyz_embed, x))
+    ff = np.asarray(feats, np.float64)
+    s_stream = np.stack([ff.sum(1), (ff * ff).sum(1)], 1)
+    np.testing.assert_allclose(
+        s_analytic, s_stream, rtol=1e-5, atol=1e-4 * np.abs(s_stream).max()
+    )
+
+    # _folded_head is exactly GroupNorm -> Linear given exact sums
+    of = np.asarray(out_old, np.float64)
+    sums = jnp.asarray(np.stack([of.sum(1), (of * of).sum(1)], 1), jnp.float32)
+    y_fold = _folded_head(net.output_proj, 32, out_old, sums)
+    y_ref = net.output_proj(group_norm(out_old, 32))
+    np.testing.assert_allclose(np.asarray(y_fold), np.asarray(y_ref), atol=3e-5)
+
+    # gradients through the sums-consuming head match the XLA-impl graph
+    backbone_x = SetTransformer.init(
+        bk, n_layers=2, feature_dim=64, num_inducers=8, embed_dim=1,
+        num_heads=4, compute_dtype=jnp.float32, attn_impl="xla",
+    )
+    net_x = UnconditionalPointNetwork.init(nk, backbone_x, feature_dim=64)
+
+    def loss(n_):
+        return (n_(t, x) ** 2).sum()
+
+    gp, gx = jax.grad(loss)(net), jax.grad(loss)(net_x)
+    for lp, lx in zip(jax.tree.leaves(gp), jax.tree.leaves(gx)):
+        scale = float(jnp.abs(lx).max()) + 1e-8
+        assert float(jnp.abs(lp - lx).max()) / scale < 2e-4
+
+    # cached-upsampling path (hs=...) falls back to the stats head and works
+    y_h, stored = net(t, x, return_h=True)
+    np.testing.assert_allclose(np.asarray(y_h), np.asarray(y_new), atol=1e-6)
+    y_cached = net(t, x, hs=stored)
+    assert np.isfinite(np.asarray(y_cached)).all()
