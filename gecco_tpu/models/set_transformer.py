@@ -301,16 +301,20 @@ class BroadcastingLayer:
         mlp_on_unnormed: bool = False,
         in_sums: Optional[jnp.ndarray] = None,
         with_sums: bool = False,
+        kv: Optional[tuple] = None,
     ):
         """``in_sums``/``with_sums`` thread the free-statistics chain of the
         fused path: ``in_sums`` is the [B, 2, C] channel sums of ``x`` (so
         the pool pre-norm needs no stats pass over the stream) and
         ``with_sums=True`` additionally returns the sums of the layer's
-        output (emitted by the fused MLP kernel) for the next layer."""
+        output (emitted by the fused MLP kernel) for the next layer.
+        ``kv`` (cached path only): precomputed unpool (k, v) so the caller
+        can hoist the per-layer h @ W projections out of its scan."""
         bkey, mkey = (None, None) if key is None else jax.random.split(key)
         if attn_impl == "folded_pallas":
             out = self._fused_call(
-                x, embed, h, bkey, mkey, mlp_on_unnormed, in_sums, with_sums
+                x, embed, h, bkey, mkey, mlp_on_unnormed, in_sums, with_sums,
+                kv,
             )
             return out if with_sums else out[:2]
         y = self.broadcast_norm(x, embed)
@@ -335,6 +339,7 @@ class BroadcastingLayer:
         mlp_on_unnormed: bool,
         in_sums: Optional[jnp.ndarray] = None,
         with_sums: bool = False,
+        kv: Optional[tuple] = None,
     ):
         """The whole layer through the three fused Pallas megakernels
         (ops/pallas/folded_attention.py): pool+pre-norm, unpool+pre-norm+
@@ -434,8 +439,16 @@ class BroadcastingLayer:
                 h = bc.norm_2(hh, embed)
                 k = v = None
         else:
-            se1, be1 = self.broadcast_norm.effective_scale_bias(x, embed)
-            k = v = None
+            # cached-upsampling eval: the stats chain applies here too —
+            # x is the new-point stream, whose sums the previous layer's
+            # MLP kernel emitted (or the caller seeded analytically)
+            if in_sums is not None:
+                se1, be1 = self.broadcast_norm.scale_bias_from_sums(
+                    in_sums, n, embed
+                )
+            else:
+                se1, be1 = self.broadcast_norm.effective_scale_bias(x, embed)
+            k, v = kv if kv is not None else (None, None)
 
         if k is None:
             hd = h.astype(dt)
@@ -660,21 +673,53 @@ class SetTransformer:
             else:
                 x, out_sums = carry, None
         else:
+            if impl == "folded_pallas":
+                # hoist the per-layer unpool k/v projections out of the scan:
+                # two batched einsums over all L cached inducer states instead
+                # of 2L sequential [B, I, C] x [C, C] matmuls (each a ~0.44 ms
+                # dispatch on the axon relay)
+                hd = hs.astype(x.dtype)  # [L, B, I, C]
+                kw = self.layers.broadcast.unpool.k_proj.weight.astype(x.dtype)
+                vw = self.layers.broadcast.unpool.v_proj.weight.astype(x.dtype)
+                ks = jnp.einsum("lbic,ldc->lbid", hd, kw)
+                vs = jnp.einsum("lbic,ldc->lbid", hd, vw)
+            else:
+                ks = vs = None
 
-            def body_cached(x, layer_and_h):
-                layer, h = layer_and_h
-                x, _ = layer(
-                    x,
-                    embed,
-                    h=h.astype(x.dtype),
-                    attn_impl=impl,
-                    mlp_on_unnormed=unnormed,
+            def body_cached(carry, layer_h_kv):
+                layer, h, k_l, v_l = layer_h_kv
+                kv = None if k_l is None else (k_l, v_l)
+                if chain_sums:
+                    xc, s = carry
+                    xc, _, s_out = layer(
+                        xc, embed, h=h.astype(xc.dtype), attn_impl=impl,
+                        mlp_on_unnormed=unnormed, in_sums=s, with_sums=True,
+                        kv=kv,
+                    )
+                    return (xc, s_out), None
+                xc, _ = layer(
+                    carry, embed, h=h.astype(carry.dtype), attn_impl=impl,
+                    mlp_on_unnormed=unnormed, kv=kv,
                 )
-                return x, None
+                return xc, None
 
-            x, stored = jax.lax.scan(body_cached, x, (self.layers, hs))
+            if chain_sums:
+                if in_sums is not None:
+                    sums0 = in_sums.astype(jnp.float32)
+                else:
+                    xf = x.astype(jnp.float32)
+                    sums0 = jnp.stack(
+                        [xf.sum(axis=1), (xf * xf).sum(axis=1)], axis=1
+                    )
+                carry0 = (x, sums0)
+            else:
+                carry0 = x
+            carry, stored = jax.lax.scan(
+                body_cached, carry0, (self.layers, hs, ks, vs)
+            )
+            x = carry[0] if chain_sums else carry
             stored = hs if return_h else None
-            out_sums = None
+            out_sums = carry[1] if chain_sums else None
 
         x = x.astype(in_dtype)
         if with_sums:
