@@ -236,6 +236,14 @@ def bench_flagship():
     except Exception:
         train_step_s = train_synced_s = None
 
+    # batch-192 arm: the ~0.44 ms/op relay latency and fixed dispatch are
+    # amortized over 3x the clouds, so this approaches the pure
+    # compute/bandwidth floor (BASELINE.md "north star" reconciliation).
+    try:
+        clouds_b192 = time_sampler(optimized, 1, batch=192)
+    except Exception:
+        clouds_b192 = None
+
     return {
         "metric": "sampled clouds/sec/chip (2048 pts, 128-step Heun ODE, batch 64)",
         "value": round(clouds_per_sec, 3),
@@ -263,6 +271,9 @@ def bench_flagship():
             ),
             "train_examples_per_sec": (
                 round(48 / train_step_s, 1) if train_step_s else None
+            ),
+            "clouds_per_sec_batch192": (
+                round(clouds_b192, 3) if clouds_b192 else None
             ),
             "device": str(jax.devices()[0]),
         },

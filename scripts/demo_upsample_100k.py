@@ -20,10 +20,17 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
 import jax
+
+# the axon sitecustomize pre-imports jax under JAX_PLATFORMS=axon, so a
+# plain env var is too late to select CPU for off-TPU smoke runs
+if os.environ.get("GECCO_FORCE_CPU") == "1":
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -42,6 +49,11 @@ def main():
     ap.add_argument("--width", type=int, default=128)
     ap.add_argument("--n-substeps", type=int, default=5)
     ap.add_argument("--solver-steps", type=int, default=64)
+    ap.add_argument(
+        "--attn-impl", default="folded_pallas",
+        help="xla for off-TPU smoke runs (the Pallas kernels fall back to "
+        "interpret mode on CPU, which is far too slow for this demo)",
+    )
     args = ap.parse_args()
 
     import optax
@@ -56,7 +68,7 @@ def main():
     backbone = SetTransformer.init(
         bk, n_layers=args.layers, feature_dim=args.width,
         num_inducers=64, embed_dim=1, num_heads=4,
-        compute_dtype=jnp.bfloat16, attn_impl="folded_pallas",
+        compute_dtype=jnp.bfloat16, attn_impl=args.attn_impl,
     )
     net = UnconditionalPointNetwork.init(nk, backbone, feature_dim=args.width)
     sched = LogUniformSchedule(
