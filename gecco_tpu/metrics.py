@@ -4,9 +4,12 @@ Differences from the reference, TPU-first:
 - every metric is batched (no ``eqx.filter_vmap`` per example);
 - ``sinkhorn_emd`` is our own log-domain Sinkhorn (``lax.scan``) instead of an
   ott-jax dependency (metrics.py:144-165) — runs fully on device;
-- exact EMD still routes the Hungarian assignment through
-  ``jax.pure_callback`` to scipy on host (there is no reasonable on-device
-  LAP; metrics.py:113-141), matching the reference's approach;
+- exact EMD comes in two flavours: ``scipy_emd`` routes the Hungarian
+  assignment through ``jax.pure_callback`` to scipy on host (the reference's
+  approach, metrics.py:113-141) — but the axon TPU runtime has no host
+  callbacks, so ``auction_emd`` solves the same assignment problem ON DEVICE
+  with an eps-scaled auction algorithm (Bertsekas 1988), runnable inside jit
+  on TPU where the reference's exact-EMD metric cannot run at all;
 - no ``MetricPmapWrapper``: metrics already run under jit over the mesh.
 """
 
@@ -28,6 +31,8 @@ __all__ = [
     "chamfer_distance",
     "chamfer_distance_squared",
     "scipy_emd",
+    "auction_lsa",
+    "auction_emd",
     "sinkhorn_emd",
 ]
 
@@ -75,6 +80,138 @@ def scipy_emd(p1: jnp.ndarray, p2: jnp.ndarray, match="l1", average="l1"):
     else:
         average_dist = distance_matrix(p1, p2, squared=average_squared)
     return average_dist[rows, cols].mean()
+
+
+def _auction_phase(benefit, prices, eps, max_iters):
+    """One eps-phase of the Jacobi (all-bid-at-once) auction: every
+    unassigned person bids on its best object simultaneously; each object
+    accepts the highest bid. Terminates with an assignment satisfying
+    eps-complementary-slackness, i.e. total benefit within ``n * eps`` of
+    optimal (Bertsekas, "The auction algorithm", 1988)."""
+    n = benefit.shape[0]
+    iota = jnp.arange(n, dtype=jnp.int32)
+
+    def cond(state):
+        person_obj, _, _, it = state
+        return jnp.any(person_obj < 0) & (it < max_iters)
+
+    def body(state):
+        person_obj, obj_person, prices, it = state
+        unassigned = person_obj < 0
+        values = benefit - prices[None, :]  # [person, object]
+        j1 = jnp.argmax(values, axis=1).astype(jnp.int32)
+        v1 = jnp.take_along_axis(values, j1[:, None], axis=1)[:, 0]
+        v2 = jnp.where(iota[None, :] == j1[:, None], -jnp.inf, values).max(axis=1)
+        # n == 1 (or a -inf column sneaking in): fall back to a unit raise
+        v2 = jnp.where(jnp.isfinite(v2), v2, v1 - 1.0)
+        p = jnp.take(prices, j1)
+        # floor the raise at ~2 fp32 ulps of the price so tied bidders
+        # (v1 == v2) always make representable progress even when eps has
+        # fallen below the ulp — ties are equal-cost, so which tied person
+        # wins does not change the total
+        raise_ = jnp.maximum(v1 - v2 + eps, jnp.abs(p) * 3e-7 + 1e-30)
+        bid = jnp.where(unassigned, p + raise_, -jnp.inf)
+        # per-object best bid and the bidding person that made it
+        bids_po = jnp.where(j1[:, None] == iota[None, :], bid[:, None], -jnp.inf)
+        best_bid = bids_po.max(axis=0)  # [object]
+        winner = jnp.argmax(bids_po, axis=0).astype(jnp.int32)
+        has_bid = jnp.isfinite(best_bid)
+        prices = jnp.where(has_bid, best_bid, prices)
+        # the previous owner of every re-auctioned object loses its object
+        prev = jnp.where(has_bid, obj_person, -1)
+        person_obj = person_obj.at[jnp.where(prev >= 0, prev, n)].set(-1, mode="drop")
+        # winners (necessarily previously-unassigned persons) take the objects
+        person_obj = person_obj.at[jnp.where(has_bid, winner, n)].set(
+            jnp.where(has_bid, iota, -1), mode="drop"
+        )
+        obj_person = jnp.where(has_bid, winner, obj_person)
+        return person_obj, obj_person, prices, it + 1
+
+    person_obj = jnp.full((n,), -1, jnp.int32)
+    obj_person = jnp.full((n,), -1, jnp.int32)
+    person_obj, obj_person, prices, _ = jax.lax.while_loop(
+        cond, body, (person_obj, obj_person, prices, jnp.int32(0))
+    )
+    return person_obj, obj_person, prices
+
+
+def auction_lsa(
+    cost_matrix: jnp.ndarray,
+    *,
+    n_phases: int = 14,
+    max_iters_per_phase: int = 4000,
+    rel_tol: float = 1e-6,
+):
+    """On-device linear assignment via the eps-scaling auction algorithm.
+
+    ``cost_matrix: [N, N]`` -> ``cols [N] int32`` with row ``i`` matched to
+    column ``cols[i]`` minimising the total cost. Pure ``lax.while_loop``
+    program — runs inside jit on TPU, where the reference's host Hungarian
+    (``jax.pure_callback`` + scipy, reference metrics.py:113-126) cannot
+    execute because the axon runtime lacks host callbacks.
+
+    Exactness: the returned assignment's total cost is within
+    ``N * eps_final`` of the optimum with ``eps_final = max(rel_tol, 2e-6) *
+    (cost range)`` (Bertsekas' eps-complementary-slackness bound; the 2e-6
+    floor keeps eps above fp32 price resolution). In practice the bound is
+    very pessimistic — the tests check equality with scipy's Hungarian
+    totals to 1e-5 relative on random and point-cloud instances. Prices
+    persist across the ``n_phases`` geometric eps reductions; assignments
+    reset each phase.
+    """
+    n = cost_matrix.shape[-1]
+    benefit = -jax.lax.stop_gradient(cost_matrix).astype(jnp.float32)
+    span = jnp.maximum(benefit.max() - benefit.min(), 1e-30)
+    eps_start = span / 4.0
+    eps_final = span * max(rel_tol, 2e-6)
+    # geometric schedule from eps_start down to eps_final (static length)
+    ratio = (eps_final / eps_start) ** (1.0 / max(n_phases - 1, 1))
+    epses = eps_start * ratio ** jnp.arange(n_phases)
+
+    def phase(carry, eps):
+        prices = carry
+        person_obj, _, prices = _auction_phase(
+            benefit, prices, eps, max_iters_per_phase
+        )
+        return prices, person_obj
+
+    prices0 = jnp.zeros((n,), jnp.float32)
+    _, assignments = jax.lax.scan(phase, prices0, epses)
+    cols = assignments[-1]
+    # if the last phase hit the iteration cap with stragglers (should not
+    # happen at the default caps), complete greedily so the result is always
+    # a valid permutation: unmatched rows take unmatched columns in order.
+    taken = jnp.zeros((n,), bool).at[jnp.where(cols >= 0, cols, n)].set(
+        True, mode="drop"
+    )
+    free_cols = jnp.argsort(jnp.where(taken, n, jnp.arange(n)))
+    unmatched_rank = jnp.cumsum(cols < 0) - 1
+    cols = jnp.where(cols >= 0, cols, jnp.take(free_cols, unmatched_rank, mode="clip"))
+    return cols.astype(jnp.int32)
+
+
+def auction_emd(
+    p1: jnp.ndarray,
+    p2: jnp.ndarray,
+    match: str = "l1",
+    average: str = "l1",
+    **auction_kw,
+):
+    """Exact EMD via on-device optimal assignment — same semantics as
+    ``scipy_emd`` (reference metrics.py:129-141) but runnable inside jit on
+    TPU. Unbatched ``[N, D]``; vmap for batches. Gradients flow through the
+    matched distances with the assignment held fixed (as in the reference)."""
+    match_squared = {"l1": False, "l2": True}[match]
+    match_dist = distance_matrix(p1, p2, squared=match_squared)
+    cols = auction_lsa(match_dist, **auction_kw)
+
+    average_squared = {"l1": False, "l2": True}[average]
+    if average_squared == match_squared:
+        average_dist = match_dist
+    else:
+        average_dist = distance_matrix(p1, p2, squared=average_squared)
+    n = average_dist.shape[0]
+    return average_dist[jnp.arange(n), cols].mean()
 
 
 def sinkhorn_emd(

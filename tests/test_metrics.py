@@ -145,3 +145,46 @@ def test_logp_metric_step_count_override():
     assert np.isfinite(v16).all() and np.isfinite(v64).all()
     # both integrate the same ODE; coarse grid stays within ~10% of fine
     assert np.abs(v16 - v64).max() / np.abs(v64).max() < 0.1
+
+
+def test_auction_lsa_matches_hungarian():
+    """On-device auction assignment (gecco_tpu/metrics.py) reaches the same
+    total cost as scipy's Hungarian — the TPU-runnable replacement for the
+    reference's pure_callback exact EMD (reference metrics.py:113-126)."""
+    import jax
+
+    from scipy.optimize import linear_sum_assignment
+
+    from gecco_tpu.metrics import auction_lsa
+
+    rng = np.random.default_rng(7)
+    fn = jax.jit(auction_lsa)
+    for n in (1, 3, 32, 128):
+        cost = rng.normal(size=(n, n)).astype(np.float32) * rng.uniform(0.1, 5)
+        rows, cols_ref = linear_sum_assignment(cost)
+        opt = cost[rows, cols_ref].sum()
+        cols = np.asarray(fn(jnp.asarray(cost)))
+        # valid permutation
+        assert sorted(cols.tolist()) == list(range(n))
+        ours = cost[np.arange(n), cols].sum()
+        np.testing.assert_allclose(ours, opt, rtol=1e-5, atol=1e-6)
+
+
+def test_auction_emd_matches_scipy_emd():
+    """auction_emd == scipy_emd on point clouds (the near-tie-heavy real
+    workload), under jit, for both l1 and l2 match metrics."""
+    import jax
+
+    from gecco_tpu.metrics import auction_emd, scipy_emd
+
+    rng = np.random.default_rng(3)
+    a = rng.normal(size=(96, 3)).astype(np.float32)
+    b = (0.7 * rng.normal(size=(96, 3)) + 0.2).astype(np.float32)
+    for match in ("l1", "l2"):
+        ref = float(scipy_emd(jnp.asarray(a), jnp.asarray(b), match=match))
+        ours = float(
+            jax.jit(lambda x, y: auction_emd(x, y, match=match))(
+                jnp.asarray(a), jnp.asarray(b)
+            )
+        )
+        np.testing.assert_allclose(ours, ref, rtol=1e-5)
