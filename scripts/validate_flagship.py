@@ -112,6 +112,13 @@ def main():
         "infer_unconditional/__main__.py:61)",
     )
     ap.add_argument(
+        "--final-eval-clouds", type=int, default=0,
+        help="sample/held-out set size for the final full-protocol eval "
+        "(0 = reuse --eval-clouds). The final eval always draws a FRESH "
+        "held-out set (seed 54321) so it is independent of the periodic "
+        "evals' comparison set",
+    )
+    ap.add_argument(
         "--save-ema", default="",
         help="directory to orbax-save the final EMA tree into (restorable "
         "with orbax StandardCheckpointer against an abstract tree of the "
@@ -171,11 +178,19 @@ def main():
         lambda m, k: m.sample(k, (args.eval_clouds, args.n_points, 3))
     )
 
-    def evaluate(ema_model, step_no, t_start, extra=None):
-        samples = np.asarray(sample_fn(ema_model, jax.random.PRNGKey(step_no)))
+    def evaluate(ema_model, step_no, t_start, extra=None, n_clouds=None, ref=None):
+        if n_clouds is None:
+            samples = np.asarray(sample_fn(ema_model, jax.random.PRNGKey(step_no)))
+            ref = heldout
+        else:
+            samples = np.asarray(
+                jax.jit(lambda m, k: m.sample(k, (n_clouds, args.n_points, 3)))(
+                    ema_model, jax.random.PRNGKey(step_no)
+                )
+            )
         ss = np.asarray(batched_pairwise_distance(samples, samples, chamfer_distance))
-        sd = np.asarray(batched_pairwise_distance(samples, heldout, chamfer_distance))
-        dd = np.asarray(batched_pairwise_distance(heldout, heldout, chamfer_distance))
+        sd = np.asarray(batched_pairwise_distance(samples, ref, chamfer_distance))
+        dd = np.asarray(batched_pairwise_distance(ref, ref, chamfer_distance))
         rec = {
             "step": step_no,
             "attn_impl": args.attn_impl,
@@ -210,9 +225,15 @@ def main():
                 n_solver_steps=args.final_eval_solver_steps
             )
         )
+        n_final = args.final_eval_clouds or args.eval_clouds
+        heldout_final = make_clouds(
+            np.random.default_rng(54321), n_final, args.n_points, args.families
+        )
         evaluate(
             ema_full, args.steps, t0,
-            extra={"final_eval_solver_steps": args.final_eval_solver_steps},
+            extra={"final_eval_solver_steps": args.final_eval_solver_steps,
+                   "final_eval_clouds": n_final},
+            n_clouds=n_final, ref=heldout_final,
         )
 
     if args.save_ema:
