@@ -17,6 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from gecco_tpu.metrics import (
+    auction_emd,
     chamfer_distance,
     chamfer_distance_squared,
     sinkhorn_emd,
@@ -121,6 +122,11 @@ class BenchmarkCallback:
                 "chamfer": chamfer_distance,
                 "chamfer_squared": chamfer_distance_squared,
                 "emd": partial(sinkhorn_emd, epsilon=0.1),
+                # exact EMD via the on-device auction assignment — usable on
+                # TPU, unlike the host-Hungarian scipy_emd (no pure_callback
+                # under axon); substantially slower than sinkhorn, intended
+                # for final evaluations rather than periodic callbacks
+                "emd_exact": auction_emd,
             }[distance_fn]
         self.distance_fn_name = getattr(
             distance_fn, "func", distance_fn
