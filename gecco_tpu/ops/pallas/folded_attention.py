@@ -45,6 +45,7 @@ Replaces: pre-norm + per-head vmap attention + MLP of the reference layer
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -196,6 +197,16 @@ def _pick_tile_n(
         if row_bytes is None or tn * row_bytes + fixed_bytes <= _VMEM_NAIVE_BUDGET:
             return tn
     return fallback if fallback is not None else n
+
+
+def _tn_env(name: str, tn: int, n: int) -> int:
+    """Experiment knob: GECCO_TN_<NAME> overrides a forward kernel's point
+    tile (must divide n; VMEM budget is the caller's problem). Perf
+    bisection only — defaults are untouched when unset."""
+    v = os.environ.get(f"GECCO_TN_{name}")
+    if v and n % int(v) == 0:
+        return int(v)
+    return tn
 
 
 def _tile_fits(n: int, row_bytes: int, fixed_bytes: int = 0, cap: int = 1024) -> bool:
@@ -1061,8 +1072,9 @@ def _pool_ext_impl(x, se, be, ind2, kvw, wo, num_heads):
         _pool_ext_wfold_fixed_bytes(c, j, num_heads),
     )
     if wfold_ok:
-        tn = _pick_tile_n(n, row_bytes=_pool_ext_wfold_row_bytes(c, j),
-                          fixed_bytes=_pool_ext_wfold_fixed_bytes(c, j, num_heads))
+        tn = _tn_env("POOL", _pick_tile_n(
+            n, row_bytes=_pool_ext_wfold_row_bytes(c, j),
+            fixed_bytes=_pool_ext_wfold_fixed_bytes(c, j, num_heads)), n)
         wf = _fold_wf(kvw, wo, num_heads)
         h0, macc, sacc = pl.pallas_call(
             functools.partial(
@@ -1099,8 +1111,8 @@ def _pool_ext_impl(x, se, be, ind2, kvw, wo, num_heads):
             (0.0 * (macc[0, 0, 0] + sacc[0, 0, 0])).astype(h0.dtype)
         )
         return h0, macc, sacc
-    tn = _pick_tile_n(n, row_bytes=_pool_ext_row_bytes(c, j),
-                      fixed_bytes=_pool_ext_fixed_bytes(c, j, d))
+    tn = _tn_env("POOL", _pick_tile_n(n, row_bytes=_pool_ext_row_bytes(c, j),
+                 fixed_bytes=_pool_ext_fixed_bytes(c, j, d)), n)
     h0, macc, sacc = pl.pallas_call(
         functools.partial(
             _pool_ext_kernel,
@@ -1575,8 +1587,8 @@ def _unpool_impl(x, se, be, k, v, wq, wo, num_heads, residual=True, prenorm=True
     i = k.shape[1]
     j = num_heads * i
     d = c // num_heads
-    tn = _pick_tile_n(n, row_bytes=_unpool_row_bytes(c, j),
-                      fixed_bytes=_unpool_fixed_bytes(c, j, i))
+    tn = _tn_env("UNPOOL", _pick_tile_n(n, row_bytes=_unpool_row_bytes(c, j),
+                 fixed_bytes=_unpool_fixed_bytes(c, j, i)), n)
     out, sums = pl.pallas_call(
         functools.partial(
             _unpool_kernel,
@@ -2024,8 +2036,8 @@ def _mlp_impl(x, se, be, w1t, b1, w2t, b2):
     output channel sums [B, 2, C] fp32)."""
     b, n, c = x.shape
     w = w1t.shape[-1]
-    tn = _pick_tile_n(n, row_bytes=_mlp_row_bytes(c, w),
-                      fixed_bytes=_mlp_fixed_bytes(c, w))
+    tn = _tn_env("MLP", _pick_tile_n(n, row_bytes=_mlp_row_bytes(c, w),
+                 fixed_bytes=_mlp_fixed_bytes(c, w)), n)
     out, sums = pl.pallas_call(
         _mlp_kernel,
         grid=(b, n // tn),
