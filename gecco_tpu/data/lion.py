@@ -118,6 +118,17 @@ class ShapeNet15kPointClouds:
         self.tr_sample_size = min(10000, tr_sample_size)
         self.te_sample_size = min(5000, te_sample_size)
 
+    def renormalize(self, mean: np.ndarray, std: np.ndarray) -> None:
+        """Swap the normalization statistics in place: undo the current
+        (mean, std), apply the new pair, and rebuild ``train_points``
+        (reference lion.py:314-320 — used to align a val/test split to the
+        train split's statistics)."""
+        raw = self.all_points * self.all_points_std + self.all_points_mean
+        self.all_points_mean = mean
+        self.all_points_std = std
+        self.all_points = (raw - mean) / std
+        self.train_points = self.all_points[:, : min(10000, self.all_points.shape[1])]
+
     def get_pc_stats(self, idx: int):
         if self.recenter_per_shape or self.normalize_per_shape or self.normalize_shape_box:
             return (

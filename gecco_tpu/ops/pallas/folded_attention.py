@@ -46,6 +46,7 @@ from __future__ import annotations
 
 import functools
 import os
+import sys
 
 import jax
 import jax.numpy as jnp
@@ -202,11 +203,32 @@ def _pick_tile_n(
 def _tn_env(name: str, tn: int, n: int) -> int:
     """Experiment knob: GECCO_TN_<NAME> overrides a forward kernel's point
     tile (must divide n; VMEM budget is the caller's problem). Perf
-    bisection only — defaults are untouched when unset."""
+    bisection only — defaults are untouched when unset. Malformed or
+    non-dividing values are ignored (with a stderr note) rather than
+    crashing the forward pass; a warning is also printed when an override
+    IS active, so a stale env var can't silently skew a benchmark or
+    trigger an opaque Mosaic VMEM OOM."""
     v = os.environ.get(f"GECCO_TN_{name}")
-    if v and n % int(v) == 0:
-        return int(v)
-    return tn
+    if not v:
+        return tn
+    try:
+        tv = int(v)
+    except ValueError:
+        tv = -1
+    if tv <= 0 or n % tv != 0:
+        print(
+            f"[gecco_tpu] ignoring invalid GECCO_TN_{name}={v!r} "
+            f"(need a positive divisor of n={n}); using default tile {tn}",
+            file=sys.stderr,
+        )
+        return tn
+    if tv != tn:
+        print(
+            f"[gecco_tpu] GECCO_TN_{name}={tv} overrides the budget-chosen "
+            f"tile {tn} — VMEM fit is now unchecked",
+            file=sys.stderr,
+        )
+    return tv
 
 
 def _tile_fits(n: int, row_bytes: int, fixed_bytes: int = 0, cap: int = 1024) -> bool:

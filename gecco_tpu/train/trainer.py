@@ -140,7 +140,7 @@ class Trainer:
     opt_state: Any = None
 
     def __post_init__(self):
-        print(f"Trainer save_path={self.save_path}.")
+        print(f"[trainer] run dir: {self.save_path}")
         key = jax.random.PRNGKey(self.seed)
         model_key, self.val_key, self.train_key = jax.random.split(key, 3)
 
@@ -155,7 +155,7 @@ class Trainer:
 
         self.metrics = tuple(self.metrics) + (LossMetric(self.loss_scale),)
         self._ckptr = ocp.StandardCheckpointer()
-        os.makedirs(self._metric_save_dir, exist_ok=True)
+        os.makedirs(self._best_ckpt_dir, exist_ok=True)
 
     # -- checkpointing (training.py:224-287) --
 
@@ -190,7 +190,7 @@ class Trainer:
                 {"model": "model", "ema": "ema_model", "opt": "opt_state"}[name],
                 restored,
             )
-        print(f"Loaded from {dirname!r}.")
+        print(f"[trainer] restored checkpoint {dirname!r}")
 
     def _init_opt_state(self):
         if self.opt_state is None:
@@ -208,15 +208,15 @@ class Trainer:
             )
         except IOError:
             if fail_if_unavailable:
-                print("No checkpoint found, exiting")
+                print("[trainer] no checkpoint to restore; aborting")
                 raise
-            print("No checkpoint found, starting from scratch")
+            print("[trainer] no checkpoint to restore; fresh start")
             return self
         self.load(path)
         self.initial_step_number = start_step + 1
         return self
 
-    def _remove_old_checkpoints(self, step: int):
+    def _prune_stale_checkpoints(self, step: int):
         for name in os.listdir(self.save_path):
             m = CHECKPOINT_SAVE_RE.fullmatch(name)
             if m is not None and int(m.group(1)) < step:
@@ -231,7 +231,7 @@ class Trainer:
     def _to_device(self, data: Example) -> Example:
         return shard_batch(data, self.mesh, shard_points=self.shard_points)
 
-    def _metrics_single_dataset(
+    def _run_metrics_over(
         self, dataloader, n_batches=None, phase_key=None
     ) -> Dict[str, float]:
         model = self.inference_model
@@ -258,12 +258,12 @@ class Trainer:
             metrics = {}
             for subset in self.val_dataloader:
                 assert getattr(subset, "name", None), "multi-val loaders need names"
-                sub = self._metrics_single_dataset(
+                sub = self._run_metrics_over(
                     subset, n_batches=n_batches, phase_key=phase_key
                 )
                 metrics.update({f"{subset.name}/{k}": v for k, v in sub.items()})
             return metrics
-        return self._metrics_single_dataset(
+        return self._run_metrics_over(
             self.val_dataloader, n_batches=n_batches, phase_key=phase_key
         )
 
@@ -278,12 +278,12 @@ class Trainer:
         metrics = self.metrics_loop(n_batches=n_batches, phase_key=phase_key)
         for k, v in metrics.items():
             logger.add_scalar(f"val-means/{k}", scalar_value=v, global_step=val_phase_id)
-            self._maybe_save_best_metric(k, v, step, _smoke_test)
+            self._track_best_metric(k, v, step, _smoke_test)
 
         for callback in self.callbacks:
             callback(model=self.inference_model, logger=logger, epoch=val_phase_id)
 
-    def _maybe_save_best_metric(self, metric_key, metric_value, step, _smoke_test):
+    def _track_best_metric(self, metric_key, metric_value, step, _smoke_test):
         # the reference hardcodes these two families (training.py:384-391)
         if ("chamfer_distance" not in metric_key) and ("logp/total" not in metric_key):
             return
@@ -298,11 +298,11 @@ class Trainer:
                 else metric_value < best_value
             )
             if better:
-                path_to_delete = self._metric_save_path(metric_key, best_step)
-                path_to_create = self._metric_save_path(metric_key, step)
+                path_to_delete = self._best_ckpt_path(metric_key, best_step)
+                path_to_create = self._best_ckpt_path(metric_key, step)
                 self.current_best_metric[metric_key] = (step, metric_value)
         else:
-            path_to_create = self._metric_save_path(metric_key, step)
+            path_to_create = self._best_ckpt_path(metric_key, step)
             self.current_best_metric[metric_key] = (step, metric_value)
 
         if _smoke_test:
@@ -316,12 +316,12 @@ class Trainer:
             shutil.rmtree(path_to_delete)
 
     @property
-    def _metric_save_dir(self) -> str:
+    def _best_ckpt_dir(self) -> str:
         return os.path.join(self.save_path, "best-checkpoints")
 
-    def _metric_save_path(self, metric_key: str, metric_step: int) -> str:
+    def _best_ckpt_path(self, metric_key: str, metric_step: int) -> str:
         key_no_slash = metric_key.replace("/", "__")
-        return os.path.join(self._metric_save_dir, f"{key_no_slash}-step-{metric_step}")
+        return os.path.join(self._best_ckpt_dir, f"{key_no_slash}-step-{metric_step}")
 
     # -- the training loop (training.py:463-572) --
 
@@ -340,9 +340,9 @@ class Trainer:
         )
 
         if self.profile_path is None and not self.skip_smoke_test:
-            print("Running a test validation phase...")
+            print("[trainer] smoke-testing the validation phase...")
             self.validation_phase(step=0, logger=MockWriter(), _smoke_test=True)
-            print("Success.")
+            print("[trainer] validation smoke test passed")
 
         loss_ema = None
         loss_avg = 0.0
@@ -444,7 +444,7 @@ class Trainer:
                     )
                     self.validation_phase(step=step, logger=logger)
                     if step > self.save_every and not self.keep_all_checkpoints:
-                        self._remove_old_checkpoints(step)
+                        self._prune_stale_checkpoints(step)
 
                 if step >= self.num_steps:
                     drain_pending()
@@ -453,7 +453,7 @@ class Trainer:
                 if self.profile_path is not None and step == 25 and profile_start is not None:
                     drain_pending()
                     print(
-                        f"Timed segment elapsed {time.perf_counter() - profile_start}s."
+                        f"[trainer] profiled window wall time: {time.perf_counter() - profile_start:.2f}s"
                     )
                     jax.profiler.stop_trace()
                     return
@@ -472,7 +472,7 @@ class Trainer:
             raise
         finally:
             self.save(f"final-checkpoint-{step}", step)
-            print("Saved final checkpoint.")
+            print("[trainer] final checkpoint written")
             logger.close()
 
 

@@ -91,34 +91,39 @@ def main():
         for e in events
         if e.get("ph") == "M" and e.get("name") == "thread_name"
     }
-    ops = sorted(
-        (
-            e
-            for e in events
-            if e.get("ph") == "X"
+    # group by (pid, tid): with more than one device core in the profile
+    # (multichip runs) the per-core "XLA Ops" rows interleave in time, and a
+    # single nesting stack would mis-attribute parent/child self-times.
+    # Zero-duration events are dropped up front — one starting exactly at
+    # its parent's end would otherwise be popped out and counted top-level.
+    rows = collections.defaultdict(list)
+    for e in events:
+        if (
+            e.get("ph") == "X"
+            and e.get("dur", 0) > 0
             and "TPU" in proc_names.get(e["pid"], "")
             and thread_names.get((e["pid"], e["tid"])) == "XLA Ops"
-        ),
-        key=lambda e: (e["ts"], -e.get("dur", 0)),
-    )
+        ):
+            rows[(e["pid"], e["tid"])].append(e)
     per_op = collections.Counter()
     total = 0.0
-    stack = []  # (end_ts, children_dur accumulator index)
-    child_dur = []
-    for e in ops:
-        ts, dur = e["ts"], e.get("dur", 0)
-        while stack and ts >= stack[-1][0]:
-            stack.pop()
-        if stack:
-            child_dur[stack[-1][1]] += dur
-        stack.append((ts + dur, len(child_dur)))
-        child_dur.append(0.0)
-        per_op[e["name"]] += 0.0  # placeholder; filled after children known
-        e["_idx"] = len(child_dur) - 1
-    for e in ops:
-        self_ms = (e.get("dur", 0) - child_dur[e["_idx"]]) / 1e3
-        per_op[e["name"]] += self_ms
-        total += self_ms
+    for row_ops in rows.values():
+        row_ops.sort(key=lambda e: (e["ts"], -e["dur"]))
+        stack = []  # (end_ts, children_dur accumulator index)
+        child_dur = []
+        for e in row_ops:
+            ts, dur = e["ts"], e["dur"]
+            while stack and ts >= stack[-1][0]:
+                stack.pop()
+            if stack:
+                child_dur[stack[-1][1]] += dur
+            stack.append((ts + dur, len(child_dur)))
+            child_dur.append(0.0)
+            e["_idx"] = len(child_dur) - 1
+        for e in row_ops:
+            self_ms = (e["dur"] - child_dur[e["_idx"]]) / 1e3
+            per_op[e["name"]] += self_ms
+            total += self_ms
     print(
         f"device self-time total: {total:.3f} ms over the chain "
         f"({total / args.k_evals:.3f} ms/eval)"

@@ -170,3 +170,26 @@ def test_shapenet_pointflow(tmp_path):
     assert ds[0].points.shape == (512, 3)
     # deterministic per-item subsampling
     np.testing.assert_array_equal(ds[1].points, ds[1].points)
+
+
+def test_lion_renormalize(tmp_path):
+    """renormalize() swaps the normalization stats in place
+    (reference lion.py:314-320)."""
+    rng = np.random.default_rng(7)
+    _write_lion_tree(tmp_path, rng)
+    kw = dict(categories=["airplane"], split="train", normalize_global=True,
+              tr_sample_size=64)
+    ds = ShapeNet15kPointClouds(str(tmp_path), **kw)
+    raw = ds.all_points * ds.all_points_std + ds.all_points_mean
+
+    new_mean = np.full((1, 1, 3), 2.0, dtype=raw.dtype)
+    new_std = np.full((1, 1, 1), 3.0, dtype=raw.dtype)
+    ds.renormalize(new_mean, new_std)
+    np.testing.assert_allclose(
+        ds.all_points, (raw - new_mean) / new_std, rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        ds.all_points * ds.all_points_std + ds.all_points_mean, raw,
+        rtol=1e-5, atol=1e-6,
+    )
+    assert ds.train_points.shape[1] == min(10000, ds.all_points.shape[1])

@@ -188,3 +188,47 @@ def test_auction_emd_matches_scipy_emd():
             )
         )
         np.testing.assert_allclose(ours, ref, rtol=1e-5)
+
+
+def test_benchmark_callback_compiles_once(tmp_path):
+    """VERDICT r3 #5: the callback must not retrace/recompile per validation
+    epoch — on the axon runtime every retrace is a minutes-long cold compile.
+    Trace counters on the sampler and the distance fn must not grow on the
+    second invocation."""
+    import jax
+
+    from gecco_tpu.benchmark import BenchmarkCallback
+    from gecco_tpu.utils.modules import module
+
+    trace_counts = {"sample": 0, "dist": 0}
+
+    @module
+    class CountingSampler:
+        scale: jax.Array
+
+        def sample(self, key, shape):
+            trace_counts["sample"] += 1
+            return self.scale * jax.random.normal(key, shape)
+
+    def counting_dist(a, b):
+        trace_counts["dist"] += 1
+        return jnp.mean(jnp.sum((a - b) ** 2, axis=-1))
+
+    data = np.random.default_rng(0).normal(size=(8, 16, 3)).astype(np.float32)
+    cb = BenchmarkCallback(data, batch_size=4, distance_fn=counting_dist)
+    model = CountingSampler(scale=jnp.float32(1.0))
+
+    class NullLogger:
+        def add_scalar(self, *a, **k):
+            pass
+
+        def add_figure(self, *a, **k):
+            pass
+
+    cb(model, NullLogger(), epoch=0)
+    counts_after_first = dict(trace_counts)
+    assert counts_after_first["sample"] >= 1 and counts_after_first["dist"] >= 1
+    cb(model, NullLogger(), epoch=1)
+    assert trace_counts == counts_after_first, (
+        f"callback retraced on second call: {counts_after_first} -> {trace_counts}"
+    )

@@ -231,22 +231,22 @@ def test_best_metric_checkpoints(tmp_path):
     )
     trainer._init_opt_state()
 
-    trainer._maybe_save_best_metric("supervised/chamfer_distance", 1.0, 10, False)
+    trainer._track_best_metric("supervised/chamfer_distance", 1.0, 10, False)
     best_dir = os.path.join(str(tmp_path), "best-checkpoints")
     first = os.listdir(best_dir)
     assert len(first) == 1 and "step-10" in first[0]
 
     # improvement replaces the old checkpoint
-    trainer._maybe_save_best_metric("supervised/chamfer_distance", 0.5, 20, False)
+    trainer._track_best_metric("supervised/chamfer_distance", 0.5, 20, False)
     second = os.listdir(best_dir)
     assert len(second) == 1 and "step-20" in second[0]
 
     # regression does nothing
-    trainer._maybe_save_best_metric("supervised/chamfer_distance", 0.9, 30, False)
+    trainer._track_best_metric("supervised/chamfer_distance", 0.9, 30, False)
     assert os.listdir(best_dir) == second
 
     # non-tracked metrics are ignored
-    trainer._maybe_save_best_metric("loss/loss", 0.1, 40, False)
+    trainer._track_best_metric("loss/loss", 0.1, 40, False)
     assert os.listdir(best_dir) == second
 
 
