@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import os
 import re
-from functools import partial
+from functools import lru_cache, partial
 from typing import Callable, List, NamedTuple, Optional, Union
 
 import numpy as np
@@ -30,18 +30,26 @@ from gecco_tpu.types import Context3d, DataError, Example
 __all__ = ["ShapeNetVolModel", "ShapeNetVolClass", "ShapeNetVol", "IM_SIZE"]
 
 IM_SIZE = 137  # 137 x 137 pixel renders
+
+
+@lru_cache(maxsize=128)
+def _load_raw_cloud(path: str) -> tuple:
+    """(points, scale, loc) from a model's pointcloud.npz. Bounded LRU: a
+    posed model is revisited once per view (24x) per epoch, and re-decoding
+    the 30k-point npz cost ~0.6 ms/item on the 1-core loader host; 128
+    cached clouds ~= 45 MB."""
+    pc = np.load(path)
+    return tuple(np.asarray(pc[k], np.float32) for k in ("points", "scale", "loc"))
 _MAT_KEY = re.compile(r"(world|camera)_mat_(\d+)$")
 _MASK_KEY = re.compile(r"mask_(\d+)$")
 
 
 def _read_rgb(path: str) -> np.ndarray:
-    """Decode a render to float32 RGB in [0, 1] (grayscale gets replicated)."""
-    from PIL import Image
+    """Decode a render to uint8 RGB (grayscale gets replicated). Normalized
+    to [0, 1] on device (ConvNeXt.__call__) — see data/image_io.py."""
+    from gecco_tpu.data.image_io import load_rgb_uint8
 
-    arr = np.asarray(Image.open(path)).astype(np.float32) / 255.0
-    if arr.ndim == 2:
-        arr = np.repeat(arr[:, :, None], 3, axis=2)
-    return arr[..., :3]
+    return load_rgb_uint8(path)
 
 
 class TestData(NamedTuple):
@@ -132,8 +140,7 @@ class ShapeNetVolModel:
     # -- geometry -----------------------------------------------------------
 
     def _raw_cloud(self) -> tuple:
-        pc = np.load(os.path.join(self.root, "pointcloud.npz"))
-        return tuple(pc[k].astype(np.float32) for k in ("points", "scale", "loc"))
+        return _load_raw_cloud(os.path.join(self.root, "pointcloud.npz"))
 
     def _world_points(self, view: Optional[int]) -> np.ndarray:
         """Subsampled world-space cloud (mask applied, denormalised)."""
@@ -145,7 +152,11 @@ class ShapeNetVolModel:
             rng = np.random.default_rng(
                 None if self.seed is None else (self.seed, view or 0)
             )
-            points = points[rng.permutation(points.shape[0])[: self.n_points]]
+            # partial-Fisher-Yates subsample: ~5x cheaper than materialising
+            # a full permutation of a 30k-point cloud per item (the loader
+            # host has few cores — per-item cost is the pipeline's budget)
+            keep = rng.choice(points.shape[0], self.n_points, replace=False)
+            points = points[keep]
         return points * scale + loc[None, :]
 
     # -- dataset protocol ---------------------------------------------------

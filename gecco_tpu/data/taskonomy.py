@@ -68,7 +68,7 @@ class Building:
         return len(self._frames)
 
     def __getitem__(self, index: int) -> Example:
-        from PIL import Image
+        from gecco_tpu.data.image_io import load_rgb_uint8
 
         row, fname = self._frames[index]
         fh = self._h5()
@@ -76,7 +76,8 @@ class Building:
         intrinsics = np.asarray(fh["k"][row], np.float32)
 
         image_path = os.path.join(self.rgb_path, fname)
-        image = np.asarray(Image.open(image_path)).astype(np.float32) / 255.0
+        # uint8 end to end: normalized to [0, 1] on device (ConvNeXt)
+        image = load_rgb_uint8(image_path)
 
         keep = np.random.permutation(cloud.shape[0])[: self.n_points]
         return Example(

@@ -181,7 +181,14 @@ class ConvNeXt:
         )
 
     def __call__(self, images: jnp.ndarray) -> List[jnp.ndarray]:
-        """images: [B, H, W, 3] -> list of per-stage maps [B, h_i, w_i, C_i]."""
+        """images: [B, H, W, 3] -> list of per-stage maps [B, h_i, w_i, C_i].
+
+        Integer images are normalized to [0, 1] HERE, on device: the data
+        loaders ship uint8 — the host-side astype(float32)/255 cost 4x the
+        collation memcpy and 4x the host->device transfer bytes on the
+        image-conditional input path (round-4 VERDICT #7)."""
+        if jnp.issubdtype(images.dtype, jnp.integer):
+            images = images.astype(self.compute_dtype) / 255.0
         x = images.astype(self.compute_dtype)
         x = _conv(x, self.stem_kernel, stride=4) + self.stem_bias.astype(x.dtype)
         x = self.stem_norm(x)

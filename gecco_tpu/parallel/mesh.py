@@ -114,11 +114,12 @@ def shard_batch(batch, mesh: Mesh, shard_points: bool = False):
             batch,
         )
 
-    sharding = batch_sharding(mesh, shard_points=shard_points)
+    pts_sharding = batch_sharding(mesh, shard_points=shard_points)
+    data_sharding = batch_sharding(mesh, shard_points=False)
     rep = replicated_sharding(mesh)
     multiprocess = jax.process_count() > 1
 
-    def _put(x):
+    def _put(x, sharding):
         if x is None or (isinstance(x, tuple) and len(x) == 0):
             return x
         arr = np.asarray(x)
@@ -127,7 +128,18 @@ def shard_batch(batch, mesh: Mesh, shard_points: bool = False):
             return jax.make_array_from_process_local_data(sh, arr)
         return jax.device_put(arr, sh)
 
-    return jax.tree.map(_put, batch)
+    # only the POINT tensor carries the sequence axis in dim 1; context
+    # leaves (images [B, H, W, 3], intrinsics [B, 3, 3]) are batch-sharded
+    # only — splitting an image's height over 'seq' would be nonsense
+    from gecco_tpu.types import Example
+
+    if isinstance(batch, Example):
+        return Example(
+            points=_put(batch.points, pts_sharding),
+            ctx=jax.tree.map(lambda x: _put(x, data_sharding), batch.ctx),
+            extras=jax.tree.map(lambda x: _put(x, data_sharding), batch.extras),
+        )
+    return jax.tree.map(lambda x: _put(x, pts_sharding), batch)
 
 
 def replicate(tree, mesh: Mesh):

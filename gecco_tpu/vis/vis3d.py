@@ -93,6 +93,15 @@ class PCVisCallback:
         self.batch: Optional[Example] = None
         self._logged_images = False
         self._key = jax.random.PRNGKey(42)
+        # jit ONCE per callback: a fresh jax.jit(lambda ...) every validation
+        # phase recompiles the full sampler each time (minutes on a
+        # cold-compile runtime) — same fix as BenchmarkCallback (VERDICT r3 #5)
+        self._sample_fn = jax.jit(
+            lambda m, k, c, shape: m.sample_stochastic(
+                k, shape, raw_ctx=c, s_churn=0.5, n_solver_steps=self.n_steps
+            ),
+            static_argnums=(3,),
+        )
 
     def set_batch(self, batch: Example):
         from gecco_tpu.types import batch_index
@@ -114,15 +123,9 @@ class PCVisCallback:
                     global_step=epoch,
                 )
 
-        samples = jax.jit(
-            lambda m, k, c: m.sample_stochastic(
-                k,
-                np.asarray(batch.points).shape,
-                raw_ctx=c,
-                s_churn=0.5,
-                n_solver_steps=self.n_steps,
-            )
-        )(model, self._key, batch.ctx)
+        samples = self._sample_fn(
+            model, self._key, batch.ctx, np.asarray(batch.points).shape
+        )
         samples = np.asarray(samples)
 
         if not has_ctx:

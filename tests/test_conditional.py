@@ -315,3 +315,46 @@ def test_pretrained_convnext_weights_gated():
     for f, c in zip(out.features, (96, 192, 384)):
         assert f.shape[-1] == c
         assert np.isfinite(np.asarray(f, np.float32)).all()
+
+
+def test_conditional_train_step_under_mesh():
+    """One conditional train step — ConvNeXt pyramid + fused projective
+    gather + UVL reparam — sharded over a (data x seq) mesh must match
+    single-device (round-4 VERDICT #6; the reference trains conditional
+    models under pmap, training.py:105-138). Context leaves (image, K) are
+    batch-sharded only; points carry the seq axis."""
+    import optax
+
+    from gecco_tpu.parallel import make_mesh, replicate, shard_batch
+    from gecco_tpu.train import make_train_step
+    from gecco_tpu.types import Example
+
+    assert jax.device_count() >= 8
+
+    model = _conditional_model(jax.random.PRNGKey(0))
+    xyz, ctx = _frustum_batch(jax.random.PRNGKey(1), b=4, n=32)
+    opt = optax.adam(1e-3)
+    key = jax.random.PRNGKey(5)
+
+    mesh = make_mesh(data=4, seq=2)
+    model_r = replicate(jax.tree.map(jnp.copy, model), mesh)
+
+    step_a = make_train_step(opt, donate=False)
+    loss_a, model_a, _, _ = step_a(
+        model, jax.tree.map(jnp.copy, model), opt.init(model), xyz, ctx, key
+    )
+
+    batch = shard_batch(Example(np.asarray(xyz), ctx), mesh, shard_points=True)
+    # the image must NOT be seq-sharded (only batch): check placement
+    img_spec = batch.ctx.image.sharding.spec
+    assert len(img_spec) < 2 or img_spec[1] is None, img_spec
+    step_b = make_train_step(opt, donate=False)
+    loss_b, model_b, _, _ = step_b(
+        model_r, jax.tree.map(jnp.copy, model_r), opt.init(model_r),
+        batch.points, batch.ctx, key,
+    )
+
+    np.testing.assert_allclose(float(loss_a), float(loss_b), rtol=1e-3)
+    wa = np.asarray(jax.tree.leaves(model_a)[0])
+    wb = np.asarray(jax.tree.leaves(model_b)[0])
+    np.testing.assert_allclose(wa, wb, rtol=1e-3, atol=1e-5)

@@ -112,7 +112,10 @@ def test_taskonomy(tmp_path):
     ex = ds[0]
     assert ex.points.shape == (100, 3)
     assert ex.ctx.image.shape == (32, 32, 3)
-    assert 0.0 <= ex.ctx.image.min() and ex.ctx.image.max() <= 1.0
+    # uint8 end to end: normalization to [0, 1] happens on device
+    # (ConvNeXt.__call__); host-side float images cost 4x the collation
+    # memcpy and relay transfer bytes
+    assert ex.ctx.image.dtype == np.uint8
 
 
 def _write_lion_tree(tmp_path, rng, n_models=4, synset="02691156"):
