@@ -14,7 +14,7 @@ import optax
 from gecco_tpu import Diffusion, LogUniformSchedule, UVLReparam
 from gecco_tpu.data import dataloader
 from gecco_tpu.data.shapenet_vol import ShapeNetVol
-from gecco_tpu.metrics import SupervisedMetric
+from gecco_tpu.metrics import LogpMetric, SupervisedMetric
 from gecco_tpu.models import ConvNeXtExtractor, RayNetwork, SetTransformer
 from gecco_tpu.train import train as train_fn
 
@@ -78,7 +78,11 @@ def train(make_model, train_loader, val_loader, save_path):
         save_path=save_path,
         save_every=10_000,
         num_steps=NUM_STEPS,
-        metrics=(SupervisedMetric(),),
+        # exact likelihood through the CONDITIONAL stack (UVL ladj +
+        # VJP through the projective gather and ConvNeXt pyramid) at a
+        # reduced 24-step reverse-ODE grid — the reference runs
+        # LogpMetric on conditional models too (gecco-jax metrics.py:53-89)
+        metrics=(SupervisedMetric(), LogpMetric(n_solver_steps=24)),
         optimizer=optax.chain(
             optax.clip_by_global_norm(1.0), optax.adabelief(learning_rate=3e-4)
         ),

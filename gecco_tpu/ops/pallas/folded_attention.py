@@ -109,7 +109,7 @@ def block_map(j: int, num_blocks: int) -> jnp.ndarray:
     return (col[:, None] == jnp.arange(num_blocks)[None, :]).astype(jnp.float32)
 
 
-def _blockwise_softmax_lastaxis(s, block, bmap=None, return_active=False):
+def _blockwise_softmax_lastaxis(s, block, bmap=None, return_active=False, bmapt=None):
     """Softmax over static ``block``-wide column blocks of a 2D fp32 array.
 
     With ``bmap`` ([J, num_blocks] indicator), the kernel-path formulation
@@ -139,26 +139,51 @@ def _blockwise_softmax_lastaxis(s, block, bmap=None, return_active=False):
     """
     nb = s.shape[-1] // block
     if bmap is not None:
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) // block
-        mexp = jnp.full_like(s, -3.0e38)
-        for q in range(nb):
-            mask_q = col == q
-            mq = jnp.max(
-                jnp.where(mask_q, s, -3.0e38), axis=-1, keepdims=True
-            )  # [TN, 1] full-width reduction — no lane slicing
-            mexp = jnp.where(mask_q, mq, mexp)
+        if bmapt is not None:
+            # cheaper max machinery with the transposed block map as an
+            # operand ([nb, J] 0/1 rows): per block, ONE masked full-width
+            # reduction (mask row broadcast from the operand — no iota
+            # build, no per-block compares); the per-row maxima are
+            # gathered by narrow concat and expanded back to J columns
+            # with a one-hot matmul on the MXU instead of nb VPU blends.
+            # Exactly the same per-row per-block maxima as the path below.
+            cols = []
+            for q in range(nb):
+                mrow = bmapt[q : q + 1, :]  # [1, J]
+                mq = jnp.max(
+                    jnp.where(mrow > 0.5, s, -3.0e38), axis=-1, keepdims=True
+                )  # [TN, 1] full-width reduction — no lane slicing
+                cols.append(mq)
+            mnb = jnp.concatenate(cols, axis=-1)  # [TN, nb]
+            mexp = jax.lax.dot_general(
+                mnb, bmapt.astype(jnp.float32), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [TN, J]
+        else:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) // block
+            mexp = jnp.full_like(s, -3.0e38)
+            for q in range(nb):
+                mask_q = col == q
+                mq = jnp.max(
+                    jnp.where(mask_q, s, -3.0e38), axis=-1, keepdims=True
+                )  # [TN, 1] full-width reduction — no lane slicing
+                mexp = jnp.where(mask_q, mq, mexp)
         e = jnp.exp(jnp.maximum(s - mexp, -80.0))
         sums = jax.lax.dot_general(
             e, bmap, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )  # [TN, nb]
-        sexp = jax.lax.dot_general(
-            sums, bmap, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        # reciprocal on the NARROW [TN, nb] sums, then expand and multiply:
+        # a full-width [TN, J] fp32 divide is a multi-cycle VPU op per
+        # element, the multiply is single-cycle (round-4 kernel pipelining)
+        rexp = jax.lax.dot_general(
+            1.0 / sums, bmap, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
         if return_active:
             # backward callers need the exact jacobian of the CLAMPED
             # forward: de/ds = e only where the clamp is inactive
-            return e / sexp, (s - mexp > -80.0).astype(jnp.float32)
-        return e / sexp
+            return e * rexp, (s - mexp > -80.0).astype(jnp.float32)
+        return e * rexp
     outs = []
     for j in range(nb):
         blk = s[:, j * block : (j + 1) * block]
@@ -177,6 +202,14 @@ def _blockwise_softmax_lastaxis(s, block, bmap=None, return_active=False):
 # backward tallies 22.4 MB naive and fits the 16 MB scoped limit). 26 MB
 # naive ≈ 15 MB realised keeps ~1 MB of headroom.
 _VMEM_NAIVE_BUDGET = 26 * 1024 * 1024
+
+# Widened per-kernel Mosaic scoped-VMEM window (vmem_limit_bytes) for
+# kernels whose tile-independent fp32 accumulators exceed the default 16 MB
+# window at scaled widths AND whose activation stream is HBM-resident
+# anyway (nothing VMEM-parked to evict). Naive-tally ceiling for using it:
+# realised ~0.6x naive must stay under the window.
+_VMEM_WIDE_LIMIT = 110 * 1024 * 1024
+_VMEM_WIDE_NAIVE_CEILING = 160 * 1024 * 1024
 
 
 def _pick_tile_n(
@@ -278,7 +311,7 @@ def _unpool_row_bytes(c, j):
 
 
 def _unpool_fixed_bytes(c, j, i):
-    return 4 * c * j + 4 * c * c + 4 * i * c  # kf/vf scratch, wq/wo, k/v
+    return 4 * c * j + 4 * c * c + 4 * i * c  # kft/vf scratch, wq/wo, k/v
 
 
 def _unpool_bwd_row_bytes(c, j):
@@ -286,7 +319,7 @@ def _unpool_bwd_row_bytes(c, j):
 
 
 def _unpool_bwd_fixed_bytes(c, j, i):
-    # kf/vf bf16 scratch (4cj) + dkf/dvf fp32 accumulator blocks (8cj)
+    # kft/vf bf16 scratch (4cj) + dkf/dvf fp32 accumulator blocks (8cj)
     # + wq/wo and their fp32 grads + k/v blocks
     return 12 * c * j + 8 * c * c + 8 * i * c
 
@@ -959,7 +992,7 @@ def _fold_wf(kvw, wo, num_heads: int) -> jnp.ndarray:
 
 
 def _pool_ext_kernel_wfold(
-    x_ref, se_ref, be_ref, qf_ref, wf_ref, eyej_ref,
+    x_ref, se_ref, be_ref, qf_ref, wf_ref,
     h0_ref, macc_ref, sacc_ref,
     uacc_scratch,
     *, num_heads: int, num_inducers: int,
@@ -976,41 +1009,62 @@ def _pool_ext_kernel_wfold(
         sacc_ref[0] = jnp.zeros_like(sacc_ref[0])
         uacc_scratch[:] = jnp.zeros_like(uacc_scratch)
 
-    y = (x.astype(jnp.float32) * se_ref[0] + be_ref[0]).astype(x.dtype)
-    s = jax.lax.dot_general(
-        y, qf_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [TN, J]
-    tile_max = jnp.max(s, axis=0, keepdims=True)  # full-width sublane reduce
+    # software-pipeline the tile in row chunks (round-4 VERDICT #1): the
+    # chunks share ONE online-softmax correction — the joint tile max is
+    # exactly the max over all chunks — so the accumulator update stays a
+    # single corrected FMA while chunk k+1's logits matmul (MXU) can
+    # overlap chunk k's exp (VPU).
+    tn = x.shape[0]
+    nchunk = 4 if tn % 1024 == 0 else (2 if tn % 2 == 0 else 1)
+    step = tn // nchunk
+    chunks = tuple(slice(q * step, (q + 1) * step) for q in range(nchunk))
+    qf = qf_ref[:]
+    ys = [
+        (x[sl].astype(jnp.float32) * se_ref[0] + be_ref[0]).astype(x.dtype)
+        for sl in chunks
+    ]
+    ss = [
+        jax.lax.dot_general(
+            y, qf, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        for y in ys
+    ]  # [step, J] each
+    tile_max = ss[0].max(axis=0, keepdims=True)  # full-width sublane reduce
+    for s in ss[1:]:
+        tile_max = jnp.maximum(tile_max, s.max(axis=0, keepdims=True))
     m_old = macc_ref[0]
     m_new = jnp.maximum(m_old, tile_max)
     corr = jnp.exp(jnp.maximum(m_old - m_new, -80.0))  # [1, J]
-    e = jnp.exp(jnp.maximum(s - m_new, -80.0))
+    es = [jnp.exp(jnp.maximum(s - m_new, -80.0)) for s in ss]
     macc_ref[0] = m_new
-    sacc_ref[0] = sacc_ref[0] * corr + jnp.sum(e, axis=0, keepdims=True)
-    # [1, J] -> [J, 1] via an identity matmul (Mosaic-safe transpose)
-    corr_col = jax.lax.dot_general(
-        eyej_ref[:], corr, (((1,), (1,)), ((), ())),
+    esum = es[0].sum(axis=0, keepdims=True)
+    for e in es[1:]:
+        esum = esum + e.sum(axis=0, keepdims=True)
+    sacc_ref[0] = sacc_ref[0] * corr + esum
+    # the value accumulator lives TRANSPOSED, U^T = Y^T E [C, J]: the online
+    # correction is then a plain [1, J] row broadcast — the old [J, C]
+    # layout needed a pathological [J,J]x[J,1] identity matmul per tile just
+    # to transpose corr into a column
+    u_new = jax.lax.dot_general(
+        ys[0], es[0].astype(x.dtype), (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )
-    uacc_scratch[:] = uacc_scratch[:] * corr_col + jax.lax.dot_general(
-        e.astype(y.dtype), y, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # U += E^T Y, [J, C]
+    )  # [C, J]
+    for e, y in zip(es[1:], ys[1:]):
+        u_new = u_new + jax.lax.dot_general(
+            y, e.astype(x.dtype), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    uacc_scratch[:] = uacc_scratch[:] * corr + u_new  # U^T += Y^T E, [C, J]
 
     @pl.when(ni == nt - 1)
     def _():
-        inv_col = jax.lax.dot_general(
-            eyej_ref[:], 1.0 / sacc_ref[0], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [J, 1]
-        unorm = (uacc_scratch[:] * inv_col).astype(y.dtype)  # [J, C]
+        unorm_t = (uacc_scratch[:] * (1.0 / sacc_ref[0])).astype(x.dtype)  # [C, J]
         acc = jnp.zeros((i, c), jnp.float32)
         for h in range(num_heads):
             acc += jax.lax.dot_general(
-                unorm[h * i : (h + 1) * i, :], wf_ref[h * c : (h + 1) * c, :],
-                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-            )  # [I, C]
+                unorm_t[:, h * i : (h + 1) * i], wf_ref[h * c : (h + 1) * c, :],
+                (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            )  # [I, C] = unorm_h^T-contracted against wf_h over C
         h0_ref[0] = acc.astype(h0_ref.dtype)
 
 
@@ -1111,7 +1165,6 @@ def _pool_ext_impl(x, se, be, ind2, kvw, wo, num_heads):
                 pl.BlockSpec((1, 1, c), lambda bi, ni: (bi, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((c, j), lambda bi, ni: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((num_heads * c, c), lambda bi, ni: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((j, j), lambda bi, ni: (0, 0), memory_space=pltpu.VMEM),
             ],
             out_specs=[
                 pl.BlockSpec((1, i, c), lambda bi, ni: (bi, 0, 0), memory_space=pltpu.VMEM),
@@ -1123,12 +1176,12 @@ def _pool_ext_impl(x, se, be, ind2, kvw, wo, num_heads):
                 jax.ShapeDtypeStruct((b, 1, j), jnp.float32),
                 jax.ShapeDtypeStruct((b, 1, j), jnp.float32),
             ],
-            scratch_shapes=[pltpu.VMEM((j, c), jnp.float32)],
+            scratch_shapes=[pltpu.VMEM((c, j), jnp.float32)],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "arbitrary")
             ),
             interpret=_interpret(),
-        )(x, se[:, None, :], be[:, None, :], qf, wf, _eye(j))
+        )(x, se[:, None, :], be[:, None, :], qf, wf)
         h0 = h0.at[0, 0, 0].add(
             (0.0 * (macc[0, 0, 0] + sacc[0, 0, 0])).astype(h0.dtype)
         )
@@ -1524,14 +1577,16 @@ folded_pool_ext.defvjp(_pool_ext_fwd, _pool_ext_bwd)
 
 def _unpool_kernel(
     x_ref, se_ref, be_ref, k_ref, v_ref, wq_ref, wo_ref, bmap_ref,
+    bmapt_ref,
     o_ref, sums_ref,
-    kf_scratch, vf_scratch, brow_scratch,
+    kft_scratch, vf_scratch, brow_scratch,
     *, num_heads: int, scale_qk: float, residual: bool, prenorm: bool,
 ):
     x = x_ref[0]  # [TN, C]
     c = x.shape[-1]
     d = c // num_heads
     i = k_ref.shape[1]
+    tn = x.shape[0]
 
     ni = pl.program_id(1)
 
@@ -1541,6 +1596,10 @@ def _unpool_kernel(
     # y @ kf == x @ (se-scaled kf) + (be @ kf) — scaling wq's columns by se
     # before the fold and accumulating the bias row once per batch removes
     # the [TN, C] convert/FMA/cast pre-norm pass from every point tile.
+    # (A full-width masked-matmul fold — one-hot head expansion + two
+    # [J,C']x[C',C] matmuls — was tried in round 4 and measured SLOWER:
+    # +0.13 ms/layer; it trades the small per-head matmuls for ~8x the
+    # prologue MXU FLOPs.)
     @pl.when(ni == 0)
     def _():
         for h in range(num_heads):
@@ -1550,13 +1609,13 @@ def _unpool_kernel(
             else:
                 wq_s = wq_h
             k_h = k_ref[0][:, h * d : (h + 1) * d]  # [I, D]
-            kf_scratch[:, h * i : (h + 1) * i] = (
+            kft_scratch[h * i : (h + 1) * i, :] = (
                 scale_qk
                 * jax.lax.dot_general(
-                    wq_s, k_h, (((0,), (1,)), ((), ())),
+                    k_h, wq_s, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
-            ).astype(kf_scratch.dtype)
+            ).astype(kft_scratch.dtype)  # [I, C] rows of kft [J, C]
             if prenorm:
                 bq_h = jax.lax.dot_general(
                     be_ref[0], wq_h.astype(jnp.float32), (((1,), (1,)), ((), ())),
@@ -1578,27 +1637,50 @@ def _unpool_kernel(
                 preferred_element_type=jnp.float32,
             ).astype(vf_scratch.dtype)
 
-    s = jax.lax.dot_general(
-        x, kf_scratch[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + brow_scratch[:]  # [TN, J]
-    p = _blockwise_softmax_lastaxis(s, i, bmap_ref[:])
-    attn = jax.lax.dot_general(
-        p.astype(x.dtype), vf_scratch[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    if residual:
-        attn = x.astype(jnp.float32) + attn
-    o_ref[0] = attn.astype(o_ref.dtype)
-
-    # accumulate s1/s2 of the OUTPUT for the next norm's statistics
     @pl.when(ni == 0)
     def _():
         sums_ref[0] = jnp.zeros_like(sums_ref[0])
 
-    s1 = jnp.sum(attn, axis=0, keepdims=True)  # [1, C] fp32
-    s2 = jnp.sum(attn * attn, axis=0, keepdims=True)
-    sums_ref[0] += jnp.concatenate([s1, s2], axis=0)  # [2, C]
+    # software-pipeline the tile in row chunks: the logits matmul of chunk
+    # k+1 (MXU) is independent of chunk k's softmax (VPU), so issuing them
+    # interleaved lets the decoupled MXU/VPU queues overlap — the serial
+    # s -> softmax -> attn chain is what held the kernel 15% over its HBM
+    # stream bound (round-3 xprof; round-4 VERDICT #1; 2-way measured
+    # 1.111 -> 1.055 ms/layer).
+    nchunk = 8 if tn % 1024 == 0 else (2 if tn % 2 == 0 else 1)
+    step = tn // nchunk
+    halves = tuple(slice(q * step, (q + 1) * step) for q in range(nchunk))
+    bmap = bmap_ref[:]
+    bmapt = bmapt_ref[:]
+    kft = kft_scratch[:]
+    vf = vf_scratch[:]
+    brow = brow_scratch[:]
+
+    ss = [
+        jax.lax.dot_general(
+            x[sl], kft, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + brow
+        for sl in halves
+    ]
+    ps = [_blockwise_softmax_lastaxis(s, i, bmap, bmapt=bmapt) for s in ss]
+    attns = [
+        jax.lax.dot_general(
+            p.astype(x.dtype), vf, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        for p in ps
+    ]
+    s12 = jnp.zeros((2, c), jnp.float32)
+    for sl, attn in zip(halves, attns):
+        if residual:
+            attn = x[sl].astype(jnp.float32) + attn
+        o_ref[0, sl] = attn.astype(o_ref.dtype)
+        # accumulate s1/s2 of the OUTPUT for the next norm's statistics
+        s1 = jnp.sum(attn, axis=0, keepdims=True)  # [1, C] fp32
+        s2 = jnp.sum(attn * attn, axis=0, keepdims=True)
+        s12 = s12 + jnp.concatenate([s1, s2], axis=0)
+    sums_ref[0] += s12
 
 
 def _unpool_impl(x, se, be, k, v, wq, wo, num_heads, residual=True, prenorm=True):
@@ -1629,6 +1711,7 @@ def _unpool_impl(x, se, be, k, v, wq, wo, num_heads, residual=True, prenorm=True
             pl.BlockSpec((c, c), lambda bi, ni: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((c, c), lambda bi, ni: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((j, num_heads), lambda bi, ni: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_heads, j), lambda bi, ni: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, tn, c), lambda bi, ni: (bi, ni, 0), memory_space=pltpu.VMEM),
@@ -1639,7 +1722,7 @@ def _unpool_impl(x, se, be, k, v, wq, wo, num_heads, residual=True, prenorm=True
             jax.ShapeDtypeStruct((b, 2, c), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((c, j), x.dtype),
+            pltpu.VMEM((j, c), x.dtype),
             pltpu.VMEM((j, c), x.dtype),
             pltpu.VMEM((1, j), jnp.float32),
         ],
@@ -1647,7 +1730,11 @@ def _unpool_impl(x, se, be, k, v, wq, wo, num_heads, residual=True, prenorm=True
             dimension_semantics=("parallel", "arbitrary")
         ),
         interpret=_interpret(),
-    )(x, se[:, None, :], be[:, None, :], k, v, wq, wo, block_map(j, num_heads))
+    )(
+        x, se[:, None, :], be[:, None, :], k, v, wq, wo,
+        block_map(j, num_heads),
+        block_map(j, num_heads).T,
+    )
     # tie outputs against pallas-output DCE (axon Mosaic bug); the in-place
     # single-element form — the old full-tensor `out + 0*sums[0,0,0]` cost a
     # ~1 ms [B, N, C] elementwise pass per denoiser eval (xprof, round 3)
@@ -1699,9 +1786,10 @@ _unpool_p.def_partition(
 
 def _unpool_bwd_kernel(
     x_ref, se_ref, be_ref, k_ref, v_ref, wq_ref, wo_ref, bmap_ref,
+    bmapt_ref,
     g_ref, gs_ref,
     dx_ref, dkf_ref, dvf_ref, dse_ref, dbe_ref,
-    kf_scratch, vf_scratch,
+    kft_scratch, vf_scratch,
     *, num_heads: int, scale_qk: float, residual: bool, prenorm: bool,
 ):
     """Backward of the fused unpool: recompute the forward per tile in VMEM
@@ -1716,18 +1804,21 @@ def _unpool_bwd_kernel(
     i = k_ref.shape[1]
     ni = pl.program_id(1)
 
+    # same per-head fold as the forward kernel, in kft [J, C] row layout
+    # (the se column scaling is NOT folded here: the backward needs y
+    # explicitly)
     @pl.when(ni == 0)
     def _():
         for h in range(num_heads):
             wq_h = wq_ref[h * d : (h + 1) * d, :]
             k_h = k_ref[0][:, h * d : (h + 1) * d]
-            kf_scratch[:, h * i : (h + 1) * i] = (
+            kft_scratch[h * i : (h + 1) * i, :] = (
                 scale_qk
                 * jax.lax.dot_general(
-                    wq_h, k_h, (((0,), (1,)), ((), ())),
+                    k_h, wq_h, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
-            ).astype(kf_scratch.dtype)
+            ).astype(kft_scratch.dtype)  # [I, C] rows of kft [J, C]
             v_h = v_ref[0][:, h * d : (h + 1) * d]
             wo_h = wo_ref[:, h * d : (h + 1) * d]
             vf_scratch[h * i : (h + 1) * i, :] = jax.lax.dot_general(
@@ -1742,10 +1833,10 @@ def _unpool_bwd_kernel(
         y = x
     bmap = bmap_ref[:]
     s = jax.lax.dot_general(
-        y, kf_scratch[:], (((1,), (0,)), ((), ())),
+        y, kft_scratch[:], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    p, act = _blockwise_softmax_lastaxis(s, i, bmap, return_active=True)
+    p, act = _blockwise_softmax_lastaxis(s, i, bmap, return_active=True, bmapt=bmapt_ref[:])
     p_b = p.astype(y.dtype)
     attn = jax.lax.dot_general(
         p_b, vf_scratch[:], (((1,), (0,)), ((), ())),
@@ -1777,7 +1868,7 @@ def _unpool_bwd_kernel(
     ds_b = ds.astype(y.dtype)
 
     dy = jax.lax.dot_general(
-        ds_b, kf_scratch[:], (((1,), (1,)), ((), ())),
+        ds_b, kft_scratch[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [TN, C]
 
@@ -1832,6 +1923,7 @@ def _unpool_bwd_impl(x, se, be, k, v, wq, wo, g, g_sums, num_heads, residual, pr
             pl.BlockSpec((c, c), lambda bi, ni: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((c, c), lambda bi, ni: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((j, num_heads), lambda bi, ni: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_heads, j), lambda bi, ni: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tn, c), lambda bi, ni: (bi, ni, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 2, c), lambda bi, ni: (bi, 0, 0), memory_space=pltpu.VMEM),
         ],
@@ -1850,7 +1942,7 @@ def _unpool_bwd_impl(x, se, be, k, v, wq, wo, g, g_sums, num_heads, residual, pr
             jax.ShapeDtypeStruct((b, 1, c), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((c, j), x.dtype),
+            pltpu.VMEM((j, c), x.dtype),
             pltpu.VMEM((j, c), x.dtype),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -1859,7 +1951,9 @@ def _unpool_bwd_impl(x, se, be, k, v, wq, wo, g, g_sums, num_heads, residual, pr
         interpret=_interpret(),
     )(
         x, se[:, None, :], be[:, None, :], k, v, wq, wo,
-        block_map(j, num_heads), g, g_sums,
+        block_map(j, num_heads),
+        block_map(j, num_heads).T,
+        g, g_sums,
     )
     dx, dkf, dvf, dse, dbe = outs
     tie = 0.0 * (dkf[0, 0, 0] + dvf[0, 0, 0] + dse[0, 0, 0] + dbe[0, 0, 0])
@@ -2209,6 +2303,22 @@ def _mlp_bwd_impl(x, se, be, w1t, b1, w2t, b2, g, g_sums):
     w = w1t.shape[-1]
     tn = _pick_tile_n(n, row_bytes=_mlp_bwd_row_bytes(c, w),
                       fixed_bytes=_mlp_bwd_fixed_bytes(c, w), cap=512)
+    naive = tn * _mlp_bwd_row_bytes(c, w) + _mlp_bwd_fixed_bytes(c, w)
+    compiler_params = pltpu.CompilerParams(
+        dimension_semantics=("arbitrary", "arbitrary")
+    )
+    if naive > _VMEM_NAIVE_BUDGET:
+        # 8k-config widths (C=768, W=3072): the fp32 weight-grad blocks
+        # alone are ~19 MB — over Mosaic's default 16 MB scoped-VMEM
+        # window but far under the chip's 128 MB VMEM, and the 8k
+        # activations are HBM-resident anyway (the [16, 8192, 768] carry
+        # cannot be VMEM-parked), so widening the window for THIS kernel
+        # evicts nothing. This replaces the round-3 shape gate to the XLA
+        # twin (round-4 VERDICT #2).
+        compiler_params = pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=_VMEM_WIDE_LIMIT,
+        )
     outs = pl.pallas_call(
         _mlp_bwd_kernel,
         grid=(b, n // tn),
@@ -2241,9 +2351,7 @@ def _mlp_bwd_impl(x, se, be, w1t, b1, w2t, b2, g, g_sums):
             jax.ShapeDtypeStruct((w, c), jnp.float32),
             jax.ShapeDtypeStruct((1, c), jnp.float32),
         ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")
-        ),
+        compiler_params=compiler_params,
         interpret=_interpret(),
     )(x, se[:, None, :], be[:, None, :], w1t, b1, w2t, b2, g, g_sums)
     dx, dse, dbe, dw1t, db1, dw2t, db2 = outs
@@ -2346,12 +2454,13 @@ def _mlp_bwd(res, g):
     g_out, g_sums = g
     n, c = x.shape[1], x.shape[2]
     w = w1t.shape[-1]
-    # the fp32 weight-grad accumulator blocks are tile-independent; at
-    # 8k-config widths (C=768, W=3072) they alone exceed VMEM — gate to
-    # the XLA twin rather than OOM (same function, HBM-resident grads)
-    fits = _tile_fits(
-        n, _mlp_bwd_row_bytes(c, w), _mlp_bwd_fixed_bytes(c, w), cap=512
-    )
+    # at 8k-config widths the fp32 weight-grad blocks exceed the default
+    # scoped-VMEM window; _mlp_bwd_impl widens the window for that case
+    # (vmem_limit_bytes) — only shapes beyond even the widened ceiling
+    # fall back to the XLA twin (same function, HBM-resident grads)
+    tn = _pick_tile_n(n, _mlp_bwd_row_bytes(c, w), _mlp_bwd_fixed_bytes(c, w), cap=512)
+    naive = tn * _mlp_bwd_row_bytes(c, w) + _mlp_bwd_fixed_bytes(c, w)
+    fits = naive <= _VMEM_WIDE_NAIVE_CEILING
     if _twin_bwd("mlp") or not fits:
         _, vjp = jax.vjp(_mlp_ref, x, se, be, w1t, b1, w2t, b2)
         return vjp((g_out, g_sums))
