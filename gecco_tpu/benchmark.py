@@ -64,38 +64,38 @@ def batched_pairwise_distance(
     return np.concatenate(rows, axis=0)
 
 
-def one_nn_accuracy(ss_dist: np.ndarray, sd_dist: np.ndarray, dd_dist: np.ndarray) -> float:
+def one_nn_accuracy(d_ss: np.ndarray, d_sd: np.ndarray, d_dd: np.ndarray) -> float:
     """1-NN two-sample classification accuracy (benchmark.py:140-150).
     0.5 is ideal (samples indistinguishable from data)."""
     dist_m = np.concatenate(
         [
-            np.concatenate([ss_dist, sd_dist], axis=1),
-            np.concatenate([sd_dist.T, dd_dist], axis=1),
+            np.concatenate([d_ss, d_sd], axis=1),
+            np.concatenate([d_sd.T, d_dd], axis=1),
         ],
         axis=0,
     )
-    n = ss_dist.shape[0]
+    n = d_ss.shape[0]
     np.fill_diagonal(dist_m, float("inf"))
-    amin = dist_m.argmin(axis=0)
+    nearest = dist_m.argmin(axis=0)
     # NOTE: `<= n` reproduces the reference's off-by-one (benchmark.py:147):
     # index n is the first *data* row, so a sample whose nearest neighbour is
     # data cloud 0 counts as a same-set hit. Kept deliberately for
     # bug-compatible score parity; at the 64-1024 sample counts used here the
     # bias is ~1/(2n) — well under a point of 1-NN accuracy — and benign.
-    one_nn_1 = amin[:n] <= n
-    one_nn_2 = amin[n:] > n
+    one_nn_1 = nearest[:n] <= n
+    one_nn_2 = nearest[n:] > n
     return float(np.concatenate([one_nn_1, one_nn_2]).mean())
 
 
-def mmd(sd_dist: np.ndarray) -> float:
+def mmd(d_sd: np.ndarray) -> float:
     """Minimum matching distance (benchmark.py:152)."""
-    return float(sd_dist.min(axis=0).min())
+    return float(d_sd.min(axis=0).min())
 
 
-def cov(sd_dist: np.ndarray) -> float:
+def cov(d_sd: np.ndarray) -> float:
     """Coverage: fraction of data clouds that are some sample's nearest
     neighbour (benchmark.py:155-156)."""
-    return float(np.unique(sd_dist.argmin(axis=1)).size / sd_dist.shape[1])
+    return float(np.unique(d_sd.argmin(axis=1)).size / d_sd.shape[1])
 
 
 def extract_data(loader: Iterable, n_examples: Optional[int]) -> np.ndarray:
@@ -125,12 +125,10 @@ class BenchmarkCallback:
         save_path: Optional[str] = None,
     ):
         self.data = np.asarray(data)
+        self.batch_size, self.block_size = batch_size, block_size
+        self.tag_prefix, self.rng_seed = tag_prefix, rng_seed
         self.n_points = self.data.shape[1]
-        self.batch_size = batch_size
-        self.tag_prefix = tag_prefix
         self.n_batches = int(math.ceil(self.data.shape[0] / batch_size))
-        self.rng_seed = rng_seed
-        self.block_size = block_size
 
         if isinstance(distance_fn, str):
             distance_fn = {
@@ -151,7 +149,7 @@ class BenchmarkCallback:
             distance_fn=distance_fn,
             block_size=block_size,
         )
-        self.dd_dist = self.distance_fn(self.data, self.data)
+        self.d_dd = self.distance_fn(self.data, self.data)
 
         if save_path is not None:
             save_path = os.path.join(
@@ -169,31 +167,34 @@ class BenchmarkCallback:
 
     @classmethod
     def from_loader(cls, loader, n_examples=None, **kwargs) -> "BenchmarkCallback":
-        data = extract_data(loader, n_examples)
-        return cls(data, batch_size=loader.batch_size, **kwargs)
+        return cls(
+            extract_data(loader, n_examples),
+            batch_size=loader.batch_size,
+            **kwargs,
+        )
 
     def sample_from_model(self, model) -> np.ndarray:
-        key = jax.random.PRNGKey(self.rng_seed)
         samples = []
+        key = jax.random.PRNGKey(self.rng_seed)
         for k in jax.random.split(key, self.n_batches):
             samples.append(np.asarray(self._sample_fn(model, k)))
         return np.concatenate(samples, axis=0)[: self.data.shape[0]]
 
     def call_without_logging(self, samples: np.ndarray):
-        ss_dist = self.distance_fn(samples, samples)
-        sd_dist = self.distance_fn(samples, self.data)
+        d_ss = self.distance_fn(samples, samples)
+        d_sd = self.distance_fn(samples, self.data)
 
         scalars = {
             f"{self.tag_prefix}/1-nn-acc/{self.distance_fn_name}": one_nn_accuracy(
-                ss_dist, sd_dist, self.dd_dist
+                d_ss, d_sd, self.d_dd
             ),
-            f"{self.tag_prefix}/mmd/{self.distance_fn_name}": mmd(sd_dist),
-            f"{self.tag_prefix}/cov/{self.distance_fn_name}": cov(sd_dist),
+            f"{self.tag_prefix}/mmd/{self.distance_fn_name}": mmd(d_sd),
+            f"{self.tag_prefix}/cov/{self.distance_fn_name}": cov(d_sd),
         }
-        plots = self._make_plots(ss_dist, sd_dist)
+        plots = self._make_plots(d_ss, d_sd)
         return scalars, plots
 
-    def _make_plots(self, ss_dist, sd_dist):
+    def _make_plots(self, d_ss, d_sd):
         try:
             import matplotlib
 
@@ -203,26 +204,26 @@ class BenchmarkCallback:
             return {}
 
         fig, ax = plt.subplots(tight_layout=True)
-        kw = dict(histtype="step", bins=np.linspace(0, self.dd_dist.max() * 1.3, 20))
-        ax.hist(self.dd_dist.flatten(), color="r", label="data-data", **kw)
-        ax.hist(ss_dist.flatten(), color="b", label="sample-sample", **kw)
-        ax.hist(sd_dist.flatten(), color="g", label="sample-data", **kw)
+        kw = dict(histtype="step", bins=np.linspace(0, self.d_dd.max() * 1.3, 20))
+        ax.hist(self.d_dd.flatten(), color="r", label="data-data", **kw)
+        ax.hist(d_ss.flatten(), color="b", label="sample-sample", **kw)
+        ax.hist(d_sd.flatten(), color="g", label="sample-data", **kw)
         fig.legend()
 
         dist_m = np.concatenate(
             [
-                np.concatenate([ss_dist, sd_dist], axis=1),
-                np.concatenate([sd_dist.T, self.dd_dist], axis=1),
+                np.concatenate([d_ss, d_sd], axis=1),
+                np.concatenate([d_sd.T, self.d_dd], axis=1),
             ],
             axis=0,
         )
         fig2, ax2 = plt.subplots(tight_layout=True, figsize=(6, 6))
         ax2.imshow(
             dist_m + np.diag(np.full(dist_m.shape[0], np.inf)),
-            vmax=self.dd_dist.max(),
+            vmax=self.d_dd.max(),
         )
-        ax2.set_xticks([ss_dist.shape[0]])
-        ax2.set_yticks([ss_dist.shape[0]])
+        ax2.set_xticks([d_ss.shape[0]])
+        ax2.set_yticks([d_ss.shape[0]])
 
         return {
             f"{self.tag_prefix}/histograms/{self.distance_fn_name}": fig,
@@ -230,13 +231,12 @@ class BenchmarkCallback:
         }
 
     def __call__(self, model, logger, epoch: int):
-        samples = self.sample_from_model(model)
-        scalars, plots = self.call_without_logging(samples)
+        scalars, plots = self.call_without_logging(self.sample_from_model(model))
 
-        for key, value in scalars.items():
-            logger.add_scalar(key, scalar_value=value, global_step=epoch)
-        for key, value in plots.items():
-            logger.add_figure(key, figure=value, global_step=epoch)
+        for tag, value in scalars.items():
+            logger.add_scalar(tag, scalar_value=value, global_step=epoch)
+        for tag, fig in plots.items():
+            logger.add_figure(tag, figure=fig, global_step=epoch)
 
         if self.save_path is None:
             return

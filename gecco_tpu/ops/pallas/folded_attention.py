@@ -211,6 +211,12 @@ _VMEM_NAIVE_BUDGET = 26 * 1024 * 1024
 _VMEM_WIDE_LIMIT = 110 * 1024 * 1024
 _VMEM_WIDE_NAIVE_CEILING = 160 * 1024 * 1024
 
+# Mosaic's default per-kernel scoped-VMEM window. Kernels whose naive tally
+# exceeds this may still compile (the realised stack is ~0.55-0.9x naive)
+# but are at the mercy of program-level layout assignment — widen the
+# window explicitly instead of relying on the slack.
+_VMEM_SCOPED_DEFAULT = 16 * 1024 * 1024
+
 
 def _pick_tile_n(
     n: int, row_bytes: int = None, fixed_bytes: int = 0, cap: int = 1024
@@ -224,7 +230,7 @@ def _pick_tile_n(
     candidate — callers that can fall back to an XLA twin should gate with
     ``_tile_fits`` first."""
     fallback = None
-    for tn in (1024, 512, 256, 128):
+    for tn in (2048, 1024, 512, 256, 128):
         if tn > cap or n % tn:
             continue
         fallback = tn
@@ -1691,8 +1697,27 @@ def _unpool_impl(x, se, be, k, v, wq, wo, num_heads, residual=True, prenorm=True
     i = k.shape[1]
     j = num_heads * i
     d = c // num_heads
+    # cap 2048: a whole flagship batch element per tile — the prologue fold
+    # runs once per element and the grid halves; measured 1.005 -> 0.912
+    # ms/layer (round 4; the chunked body keeps MXU/VPU overlap within the
+    # bigger tile, and the post-pipelining kernel fits the scoped window)
     tn = _tn_env("UNPOOL", _pick_tile_n(n, row_bytes=_unpool_row_bytes(c, j),
-                 fixed_bytes=_unpool_fixed_bytes(c, j, i)), n)
+                 fixed_bytes=_unpool_fixed_bytes(c, j, i), cap=2048), n)
+    naive = tn * _unpool_row_bytes(c, j) + _unpool_fixed_bytes(c, j, i)
+    compiler_params = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "arbitrary")
+    )
+    if naive > _VMEM_SCOPED_DEFAULT:
+        # the 2048-point tile's realised Mosaic stack can exceed the 16 MB
+        # default scoped window (measured 17.49 MB at flagship dims — it
+        # happened to fit at batch 64 but OOMed at batch 192, where XLA
+        # assigns layouts differently): widen the window to the naive tally
+        # (a strict upper bound on the realised stack) instead of OOMing.
+        # Same for env overrides / exotic shapes past the chooser budget.
+        compiler_params = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=min(_VMEM_WIDE_LIMIT, int(naive)),
+        )
     out, sums = pl.pallas_call(
         functools.partial(
             _unpool_kernel,
@@ -1726,9 +1751,7 @@ def _unpool_impl(x, se, be, k, v, wq, wo, num_heads, residual=True, prenorm=True
             pltpu.VMEM((j, c), x.dtype),
             pltpu.VMEM((1, j), jnp.float32),
         ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")
-        ),
+        compiler_params=compiler_params,
         interpret=_interpret(),
     )(
         x, se[:, None, :], be[:, None, :], k, v, wq, wo,

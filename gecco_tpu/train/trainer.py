@@ -234,20 +234,20 @@ class Trainer:
     def _run_metrics_over(
         self, dataloader, n_batches=None, phase_key=None
     ) -> Dict[str, float]:
-        model = self.inference_model
+        eval_model = self.inference_model
         outputs = defaultdict(list)
         key = self.val_key if phase_key is None else phase_key
 
         for val_step, data in enumerate(dataloader):
             example = self._to_device(Example(*data).discard_extras()
                                       if not isinstance(data, Example) else data.discard_extras())
-            key, *keys = jax.random.split(key, len(self.metrics) + 1)
-            for metric_fn, metric_key in zip(self.metrics, keys):
-                values = metric_fn(model, example.points, example.ctx, metric_key)
+            metric_keys = jax.random.split(key, len(self.metrics) + 1)
+            key = metric_keys[0]
+            for metric_fn, mkey in zip(self.metrics, metric_keys[1:]):
+                values = metric_fn(eval_model, example.points, example.ctx, mkey)
                 for subname, value in values.items():
-                    outputs[f"{metric_fn.name}/{subname}"].append(
-                        np.asarray(value).flatten()
-                    )
+                    name = f"{metric_fn.name}/{subname}"
+                    outputs[name].append(np.asarray(value).flatten())
             if n_batches is not None and val_step + 1 >= n_batches:
                 break
 
@@ -267,38 +267,40 @@ class Trainer:
             self.val_dataloader, n_batches=n_batches, phase_key=phase_key
         )
 
+    def _phase_id(self, step: int) -> int:
+        return step // self.save_every
+
     def validation_phase(self, step: int, logger, _smoke_test: bool = False):
         n_batches = 2 if _smoke_test else self.n_validation_batches
         # advance the metric PRNG per validation phase (fold in the phase id,
         # deterministic across resumes) so stochastic metrics (SupervisedMetric
         # sampling, logp Hutchinson noise) don't silently reuse one noise draw
         # forever and hide their variance
-        val_phase_id = step // self.save_every
-        phase_key = jax.random.fold_in(self.val_key, val_phase_id)
+        phase_id = self._phase_id(step)
+        phase_key = jax.random.fold_in(self.val_key, phase_id)
         metrics = self.metrics_loop(n_batches=n_batches, phase_key=phase_key)
         for k, v in metrics.items():
-            logger.add_scalar(f"val-means/{k}", scalar_value=v, global_step=val_phase_id)
+            logger.add_scalar(f"val-means/{k}", scalar_value=v, global_step=phase_id)
             self._track_best_metric(k, v, step, _smoke_test)
 
         for callback in self.callbacks:
-            callback(model=self.inference_model, logger=logger, epoch=val_phase_id)
+            callback(model=self.inference_model, logger=logger, epoch=phase_id)
 
     def _track_best_metric(self, metric_key, metric_value, step, _smoke_test):
         # the reference hardcodes these two families (training.py:384-391)
-        if ("chamfer_distance" not in metric_key) and ("logp/total" not in metric_key):
+        tracked = ("chamfer_distance", "logp/total")
+        if not any(t in metric_key for t in tracked):
             return
 
-        higher_is_better = "logp" in metric_key.lower()
+        maximize = "logp" in metric_key.lower()
         path_to_delete = path_to_create = None
         if metric_key in self.current_best_metric:
-            best_step, best_value = self.current_best_metric[metric_key]
+            prev_step, prev_value = self.current_best_metric[metric_key]
             better = (
-                metric_value > best_value
-                if higher_is_better
-                else metric_value < best_value
+                metric_value > prev_value if maximize else metric_value < prev_value
             )
             if better:
-                path_to_delete = self._best_ckpt_path(metric_key, best_step)
+                path_to_delete = self._best_ckpt_path(metric_key, prev_step)
                 path_to_create = self._best_ckpt_path(metric_key, step)
                 self.current_best_metric[metric_key] = (step, metric_value)
         else:
@@ -325,6 +327,7 @@ class Trainer:
 
     # -- the training loop (training.py:463-572) --
 
+
     def fit(self):
         self._init_opt_state()
         self.model = replicate(self.model, self.mesh)
@@ -339,9 +342,9 @@ class Trainer:
             train_in_inference_mode=self.train_in_inference_mode,
         )
 
-        if self.profile_path is None and not self.skip_smoke_test:
+        if not (self.skip_smoke_test or self.profile_path is not None):
             print("[trainer] smoke-testing the validation phase...")
-            self.validation_phase(step=0, logger=MockWriter(), _smoke_test=True)
+            self.validation_phase(0, MockWriter(), _smoke_test=True)
             print("[trainer] validation smoke test passed")
 
         loss_ema = None
@@ -388,8 +391,8 @@ class Trainer:
                 step = self.initial_step_number + step_offset
 
                 if self.profile_path is not None and step == 20:
-                    jax.profiler.start_trace(self.profile_path)
                     profile_start = time.perf_counter()
+                    jax.profiler.start_trace(self.profile_path)
 
                 step_ctx = (
                     jax.profiler.StepTraceAnnotation("train", step_num=step)
@@ -434,16 +437,18 @@ class Trainer:
                 elif len(pending) >= max(1, self.loss_sync_every):
                     drain_pending()
 
-                if step % self.save_every == (self.save_every - 1):
+                at_ckpt_boundary = (step + 1) % self.save_every == 0
+                if at_ckpt_boundary:
                     drain_pending()
                     self.save(CHECKPOINT_SAVE_TEMPLATE.format(step), step)
                     logger.add_scalar(
                         "train/mean_loss",
                         scalar_value=loss_avg,
-                        global_step=step // self.save_every,
+                        global_step=self._phase_id(step),
                     )
                     self.validation_phase(step=step, logger=logger)
-                    if step > self.save_every and not self.keep_all_checkpoints:
+                    prune_ok = step > self.save_every and not self.keep_all_checkpoints
+                    if prune_ok:
                         self._prune_stale_checkpoints(step)
 
                 if step >= self.num_steps:
@@ -480,6 +485,6 @@ def train(*args, recover_from_checkpoint: bool = True, **kwargs) -> Trainer:
     """Module-level entry point (training.py:575-584)."""
     trainer = Trainer(*args, **kwargs)
     if recover_from_checkpoint:
-        trainer = trainer.recover_from_checkpoint()
+        trainer.recover_from_checkpoint()
     trainer.fit()
     return trainer
