@@ -295,9 +295,11 @@ def bench_scaled8k():
         )
 
     try:
-        train_step_s = time_train_step(model_fn, batch=16, n_points=n_points)
+        train_step_s, train_synced_s = time_train_step(
+            model_fn, batch=16, n_points=n_points
+        )
     except Exception:
-        train_step_s = None
+        train_step_s = train_synced_s = None
     return {
         "metric": "scaled-8k clouds/sec/chip (12x768, 8192 pts, 128-step Heun, batch 16)",
         "value": round(batch / best_sample, 3),
@@ -307,6 +309,9 @@ def bench_scaled8k():
             "denoiser_eval_ms_in_sampler": round(best_sample / HEUN_EVALS * 1e3, 3),
             "train_step_ms_batch16": (
                 round(train_step_s * 1e3, 1) if train_step_s else None
+            ),
+            "train_step_ms_batch16_synced": (
+                round(train_synced_s * 1e3, 1) if train_synced_s else None
             ),
             "device": str(jax.devices()[0]),
         },

@@ -218,6 +218,24 @@ _VMEM_WIDE_NAIVE_CEILING = 160 * 1024 * 1024
 _VMEM_SCOPED_DEFAULT = 16 * 1024 * 1024
 
 
+def _kernel_compiler_params(naive_bytes, semantics=("parallel", "arbitrary")):
+    """CompilerParams with a scoped-VMEM window sized for the kernel.
+
+    Mosaic's default window is 16 MB. The realised stack is usually
+    0.55-0.9x the naive liveness tally but can exceed it slightly (8k
+    unpool: 23.55 MiB realised vs 23.44 naive), and a kernel that merely
+    *happens* to fit the default window can OOM when the surrounding
+    program's layout assignment changes (flagship unpool: fit at batch 64,
+    OOMed at batch 192). So: whenever the naive tally exceeds the default
+    window, declare a window of 1.3x the tally explicitly."""
+    if naive_bytes > _VMEM_SCOPED_DEFAULT:
+        return pltpu.CompilerParams(
+            dimension_semantics=semantics,
+            vmem_limit_bytes=min(_VMEM_WIDE_LIMIT, int(naive_bytes * 1.3)),
+        )
+    return pltpu.CompilerParams(dimension_semantics=semantics)
+
+
 def _pick_tile_n(
     n: int, row_bytes: int = None, fixed_bytes: int = 0, cap: int = 1024
 ) -> int:
@@ -1157,6 +1175,8 @@ def _pool_ext_impl(x, se, be, ind2, kvw, wo, num_heads):
         tn = _tn_env("POOL", _pick_tile_n(
             n, row_bytes=_pool_ext_wfold_row_bytes(c, j),
             fixed_bytes=_pool_ext_wfold_fixed_bytes(c, j, num_heads)), n)
+        naive = tn * _pool_ext_wfold_row_bytes(c, j) \
+            + _pool_ext_wfold_fixed_bytes(c, j, num_heads)
         wf = _fold_wf(kvw, wo, num_heads)
         h0, macc, sacc = pl.pallas_call(
             functools.partial(
@@ -1183,9 +1203,7 @@ def _pool_ext_impl(x, se, be, ind2, kvw, wo, num_heads):
                 jax.ShapeDtypeStruct((b, 1, j), jnp.float32),
             ],
             scratch_shapes=[pltpu.VMEM((c, j), jnp.float32)],
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("parallel", "arbitrary")
-            ),
+            compiler_params=_kernel_compiler_params(naive),
             interpret=_interpret(),
         )(x, se[:, None, :], be[:, None, :], qf, wf)
         h0 = h0.at[0, 0, 0].add(
@@ -1194,6 +1212,7 @@ def _pool_ext_impl(x, se, be, ind2, kvw, wo, num_heads):
         return h0, macc, sacc
     tn = _tn_env("POOL", _pick_tile_n(n, row_bytes=_pool_ext_row_bytes(c, j),
                  fixed_bytes=_pool_ext_fixed_bytes(c, j, d)), n)
+    naive = tn * _pool_ext_row_bytes(c, j) + _pool_ext_fixed_bytes(c, j, d)
     h0, macc, sacc = pl.pallas_call(
         functools.partial(
             _pool_ext_kernel,
@@ -1221,9 +1240,7 @@ def _pool_ext_impl(x, se, be, ind2, kvw, wo, num_heads):
             jax.ShapeDtypeStruct((b, 1, j), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((j, d), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")
-        ),
+        compiler_params=_kernel_compiler_params(naive),
         interpret=_interpret(),
     )(x, se[:, None, :], be[:, None, :], qf, kvw, wo, _eye(j))
     # tie outputs against pallas-output DCE (axon Mosaic bug), in-place form
@@ -1405,6 +1422,7 @@ def _pool_ext_bwd_impl(x, se, be, ind2, kvw, wo, g_h0, macc, sacc, num_heads):
     i = j // num_heads
     tn = _pick_tile_n(n, row_bytes=_pool_ext_bwd_row_bytes(c, j),
                       fixed_bytes=_pool_ext_bwd_fixed_bytes(c, j, d), cap=512)
+    naive = tn * _pool_ext_bwd_row_bytes(c, j) + _pool_ext_bwd_fixed_bytes(c, j, d)
     qf = _fold_qf(ind2, kvw, num_heads).astype(x.dtype)
     outs = pl.pallas_call(
         functools.partial(
@@ -1449,12 +1467,12 @@ def _pool_ext_bwd_impl(x, se, be, ind2, kvw, wo, g_h0, macc, sacc, num_heads):
             pltpu.VMEM((j, d), jnp.float32),
             pltpu.VMEM((1, j), jnp.float32),
         ],
-        compiler_params=pltpu.CompilerParams(
-            # the batch axis must be sequential: dqf/dwv/dwo accumulate
-            # ACROSS batch elements into constant-index output blocks
-            # (zeroed at bi==0) — cross-iteration dependencies along a
-            # "parallel" axis are undefined (same reasoning as _mlp_bwd)
-            dimension_semantics=("arbitrary", "arbitrary", "arbitrary")
+        # the batch axis must be sequential: dqf/dwv/dwo accumulate
+        # ACROSS batch elements into constant-index output blocks
+        # (zeroed at bi==0) — cross-iteration dependencies along a
+        # "parallel" axis are undefined (same reasoning as _mlp_bwd)
+        compiler_params=_kernel_compiler_params(
+            naive, semantics=("arbitrary", "arbitrary", "arbitrary")
         ),
         interpret=_interpret(),
     )(
@@ -1704,20 +1722,10 @@ def _unpool_impl(x, se, be, k, v, wq, wo, num_heads, residual=True, prenorm=True
     tn = _tn_env("UNPOOL", _pick_tile_n(n, row_bytes=_unpool_row_bytes(c, j),
                  fixed_bytes=_unpool_fixed_bytes(c, j, i), cap=2048), n)
     naive = tn * _unpool_row_bytes(c, j) + _unpool_fixed_bytes(c, j, i)
-    compiler_params = pltpu.CompilerParams(
-        dimension_semantics=("parallel", "arbitrary")
-    )
-    if naive > _VMEM_SCOPED_DEFAULT:
-        # the 2048-point tile's realised Mosaic stack can exceed the 16 MB
-        # default scoped window (measured 17.49 MB at flagship dims — it
-        # happened to fit at batch 64 but OOMed at batch 192, where XLA
-        # assigns layouts differently): widen the window to the naive tally
-        # (a strict upper bound on the realised stack) instead of OOMing.
-        # Same for env overrides / exotic shapes past the chooser budget.
-        compiler_params = pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
-            vmem_limit_bytes=min(_VMEM_WIDE_LIMIT, int(naive)),
-        )
+    if os.environ.get("GECCO_DEBUG_TILES"):
+        print(f"[gecco_tpu] unpool tile: b={b} n={n} c={c} j={j} tn={tn} "
+              f"naive={naive / 2**20:.2f}MiB", file=sys.stderr)
+    compiler_params = _kernel_compiler_params(naive)
     out, sums = pl.pallas_call(
         functools.partial(
             _unpool_kernel,
@@ -1928,6 +1936,7 @@ def _unpool_bwd_impl(x, se, be, k, v, wq, wo, g, g_sums, num_heads, residual, pr
     d = c // num_heads
     tn = _pick_tile_n(n, row_bytes=_unpool_bwd_row_bytes(c, j),
                       fixed_bytes=_unpool_bwd_fixed_bytes(c, j, i), cap=512)
+    naive = tn * _unpool_bwd_row_bytes(c, j) + _unpool_bwd_fixed_bytes(c, j, i)
     outs = pl.pallas_call(
         functools.partial(
             _unpool_bwd_kernel,
@@ -1968,9 +1977,7 @@ def _unpool_bwd_impl(x, se, be, k, v, wq, wo, g, g_sums, num_heads, residual, pr
             pltpu.VMEM((j, c), x.dtype),
             pltpu.VMEM((j, c), x.dtype),
         ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")
-        ),
+        compiler_params=_kernel_compiler_params(naive),
         interpret=_interpret(),
     )(
         x, se[:, None, :], be[:, None, :], k, v, wq, wo,
@@ -2177,6 +2184,7 @@ def _mlp_impl(x, se, be, w1t, b1, w2t, b2):
     w = w1t.shape[-1]
     tn = _tn_env("MLP", _pick_tile_n(n, row_bytes=_mlp_row_bytes(c, w),
                  fixed_bytes=_mlp_fixed_bytes(c, w)), n)
+    naive = tn * _mlp_row_bytes(c, w) + _mlp_fixed_bytes(c, w)
     out, sums = pl.pallas_call(
         _mlp_kernel,
         grid=(b, n // tn),
@@ -2197,9 +2205,7 @@ def _mlp_impl(x, se, be, w1t, b1, w2t, b2):
             jax.ShapeDtypeStruct((b, n, c), x.dtype),
             jax.ShapeDtypeStruct((b, 2, c), jnp.float32),
         ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")
-        ),
+        compiler_params=_kernel_compiler_params(naive),
         interpret=_interpret(),
     )(x, se[:, None, :], be[:, None, :], w1t, b1, w2t, b2)
     # tie outputs against pallas-output DCE (axon Mosaic bug), in-place form
@@ -2327,21 +2333,15 @@ def _mlp_bwd_impl(x, se, be, w1t, b1, w2t, b2, g, g_sums):
     tn = _pick_tile_n(n, row_bytes=_mlp_bwd_row_bytes(c, w),
                       fixed_bytes=_mlp_bwd_fixed_bytes(c, w), cap=512)
     naive = tn * _mlp_bwd_row_bytes(c, w) + _mlp_bwd_fixed_bytes(c, w)
-    compiler_params = pltpu.CompilerParams(
-        dimension_semantics=("arbitrary", "arbitrary")
+    # 8k-config widths (C=768, W=3072): the fp32 weight-grad blocks alone
+    # are ~19 MB — over Mosaic's default 16 MB scoped-VMEM window but far
+    # under the chip's 128 MB VMEM, and the 8k activations are HBM-resident
+    # anyway (the [16, 8192, 768] carry cannot be VMEM-parked), so widening
+    # the window for THIS kernel evicts nothing. This replaces the round-3
+    # shape gate to the XLA twin (round-4 VERDICT #2).
+    compiler_params = _kernel_compiler_params(
+        naive, semantics=("arbitrary", "arbitrary")
     )
-    if naive > _VMEM_NAIVE_BUDGET:
-        # 8k-config widths (C=768, W=3072): the fp32 weight-grad blocks
-        # alone are ~19 MB — over Mosaic's default 16 MB scoped-VMEM
-        # window but far under the chip's 128 MB VMEM, and the 8k
-        # activations are HBM-resident anyway (the [16, 8192, 768] carry
-        # cannot be VMEM-parked), so widening the window for THIS kernel
-        # evicts nothing. This replaces the round-3 shape gate to the XLA
-        # twin (round-4 VERDICT #2).
-        compiler_params = pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
-            vmem_limit_bytes=_VMEM_WIDE_LIMIT,
-        )
     outs = pl.pallas_call(
         _mlp_bwd_kernel,
         grid=(b, n // tn),

@@ -62,6 +62,11 @@ def main():
     ap.add_argument("--heads", type=int, default=8)
     ap.add_argument("--inducers", type=int, default=64)
     ap.add_argument("--blowup", type=int, default=2)
+    ap.add_argument(
+        "--bwd", action="store_true",
+        help="time fwd+bwd per kernel (jax.grad through the custom VJP); "
+        "the bwd-only estimate is (fwd+bwd chain) - (fwd chain)",
+    )
     args = ap.parse_args()
 
     from gecco_tpu.ops.pallas.folded_attention import (
@@ -90,6 +95,17 @@ def main():
     w2t = (jax.random.normal(ks[10], (w, c)) / w**0.5).astype(dt)
     b2 = jnp.zeros((1, c), jnp.float32)
 
+    def grad_step(f):
+        # one fwd+bwd per chain step: grad w.r.t. x runs the full backward
+        # kernel (it emits every cotangent in one program regardless)
+        def g(x):
+            gx = jax.grad(
+                lambda xx: jnp.mean(f(xx).astype(jnp.float32) ** 2)
+            )(x)
+            return (x - 1e-3 * gx).astype(x.dtype)
+
+        return g
+
     results = {}
     if args.kernel in ("pool", "all"):
         # chain via a cheap x-dependence: h0 [B, I, C] folded back into x
@@ -99,18 +115,33 @@ def main():
             return (x + 1e-6 * bump.astype(x.dtype)).astype(x.dtype)
 
         results["pool"] = _time_chain("pool_ext", pool_step, x0, args.k)
+        if args.bwd:
+            results["pool_fwdbwd"] = _time_chain(
+                "pool_ext_fwdbwd", grad_step(pool_step), x0, args.k
+            )
     if args.kernel in ("unpool", "all"):
         def unpool_step(x):
             out, sums = folded_unpool(x, se, be, kk, vv, wq, wo, args.heads)
             return (0.5 * out + 1e-6 * sums[:, :1, :].astype(out.dtype)).astype(x.dtype)
 
         results["unpool"] = _time_chain("unpool", unpool_step, x0, args.k)
+        if args.bwd:
+            results["unpool_fwdbwd"] = _time_chain(
+                "unpool_fwdbwd", grad_step(unpool_step), x0, args.k
+            )
     if args.kernel in ("mlp", "all"):
         def mlp_step(x):
             out, sums = fused_mlp_residual(x, se, be, w1t, b1, w2t, b2)
             return (0.5 * out + 1e-6 * sums[:, :1, :].astype(out.dtype)).astype(x.dtype)
 
         results["mlp"] = _time_chain("mlp", mlp_step, x0, args.k)
+        if args.bwd:
+            results["mlp_fwdbwd"] = _time_chain(
+                "mlp_fwdbwd", grad_step(mlp_step), x0, args.k
+            )
+    for name in ("pool", "unpool", "mlp"):
+        if f"{name}_fwdbwd" in results:
+            results[f"{name}_bwd_est"] = results[f"{name}_fwdbwd"] - results[name]
     print({k: round(v, 4) for k, v in results.items()})
 
 

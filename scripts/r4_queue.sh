@@ -13,8 +13,10 @@ run() {
   echo "=== [$(date -u +%H:%M:%S)] DONE $name rc=$rc" | tee -a runs/r4_queue.log
 }
 
-for stage in "${@:-trainprof_flagship trainprof_8k bench_8k bench_cond flagship conditional upsample}"; do
+for stage in ${@:-denoiserprof trainprof_flagship trainprof_8k bench_8k bench_cond flagship conditional upsample}; do
   case "$stage" in
+    denoiserprof)
+      run denoiserprof python scripts/profile_denoiser.py ;;
     trainprof_flagship)
       run trainprof_flagship python scripts/profile_train_step.py --config flagship ;;
     trainprof_8k)
