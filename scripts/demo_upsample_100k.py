@@ -47,8 +47,21 @@ def main():
     ap.add_argument("--batch", type=int, default=48)
     ap.add_argument("--layers", type=int, default=3)
     ap.add_argument("--width", type=int, default=128)
+    ap.add_argument("--heads", type=int, default=4)
     ap.add_argument("--n-substeps", type=int, default=5)
     ap.add_argument("--solver-steps", type=int, default=64)
+    ap.add_argument(
+        "--ema-path", default="",
+        help="orbax dir holding a saved EMA tree (validate_flagship "
+        "--save-ema layout: <dir>/ema). When set, training is skipped and "
+        "the demo upsamples with that model — pass matching --layers/"
+        "--width/--heads (the flagship EMA is 6/384/8)",
+    )
+    ap.add_argument(
+        "--families", type=int, default=1,
+        help="shape families for the dense GT cloud (match what the model "
+        "was trained on: validate_flagship default is 4)",
+    )
     ap.add_argument(
         "--attn-impl", default="folded_pallas",
         help="xla for off-TPU smoke runs (the Pallas kernels fall back to "
@@ -67,7 +80,7 @@ def main():
     bk, nk = jax.random.split(key)
     backbone = SetTransformer.init(
         bk, n_layers=args.layers, feature_dim=args.width,
-        num_inducers=64, embed_dim=1, num_heads=4,
+        num_inducers=64, embed_dim=1, num_heads=args.heads,
         compute_dtype=jnp.bfloat16, attn_impl=args.attn_impl,
     )
     net = UnconditionalPointNetwork.init(nk, backbone, feature_dim=args.width)
@@ -78,24 +91,35 @@ def main():
         net, sched, reparam=GaussianReparam.init([0.0] * 3, [0.35] * 3)
     )
 
-    opt = optax.chain(optax.clip_by_global_norm(1.0), optax.adabelief(3e-4))
-    step = make_train_step(opt)
-    ema = jax.tree.map(jnp.copy, model)
-    opt_state = opt.init(model)
+    if args.ema_path:
+        import orbax.checkpoint as ocp
 
-    rng = np.random.default_rng(0)
-    t0 = time.time()
-    for i in range(args.train_steps):
-        pts = jnp.asarray(make_clouds(rng, args.batch, args.train_points, 1))
-        loss, model, ema, opt_state = step(
-            model, ema, opt_state, pts, None, jax.random.fold_in(key, i)
+        abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, model)
+        ema = ocp.StandardCheckpointer().restore(
+            os.path.abspath(os.path.join(args.ema_path, "ema")), abstract
         )
-        if i % 500 == 0:
-            print(f"step {i} loss {float(loss):.4f}", flush=True)
-    print(f"trained {args.train_steps} steps in {time.time()-t0:.0f} s")
+        print(f"restored EMA from {args.ema_path}/ema — skipping training")
+    else:
+        opt = optax.chain(optax.clip_by_global_norm(1.0), optax.adabelief(3e-4))
+        step = make_train_step(opt)
+        ema = jax.tree.map(jnp.copy, model)
+        opt_state = opt.init(model)
+
+        rng = np.random.default_rng(0)
+        t0 = time.time()
+        for i in range(args.train_steps):
+            pts = jnp.asarray(
+                make_clouds(rng, args.batch, args.train_points, args.families)
+            )
+            loss, model, ema, opt_state = step(
+                model, ema, opt_state, pts, None, jax.random.fold_in(key, i)
+            )
+            if i % 500 == 0:
+                print(f"step {i} loss {float(loss):.4f}", flush=True)
+        print(f"trained {args.train_steps} steps in {time.time()-t0:.0f} s")
 
     # held-out dense GT; the observation is a random 2048-point subset
-    dense_gt = make_clouds(np.random.default_rng(999), 1, args.n_new, 1)
+    dense_gt = make_clouds(np.random.default_rng(999), 1, args.n_new, args.families)
     obs_idx = np.random.default_rng(1).permutation(args.n_new)[: args.n_obs]
     obs = dense_gt[:, obs_idx]
 
@@ -122,7 +146,9 @@ def main():
         "chamfer_uncond_sample_vs_dense_gt": float(
             cd(np.asarray(samp)[0], dense_gt[0])
         ),
-        "model": f"{args.layers}x{args.width}, I=64",
+        "model": f"{args.layers}x{args.width}, I=64"
+        + (f" (EMA from {args.ema_path})" if args.ema_path else ""),
+        "families": args.families,
         "n_substeps": args.n_substeps,
         "solver_steps": args.solver_steps,
     }
