@@ -257,6 +257,37 @@ def _pick_tile_n(
     return fallback if fallback is not None else n
 
 
+def _pipeline_chunks(default: int, tn: int) -> int:
+    """Software-pipeline chunk count for a tile body. GECCO_PIPELINE_CHUNKS
+    overrides the default everywhere (must divide the tile or it is ignored
+    with a stderr note). The default is 1 — unchunked: the 4/8-way chunked
+    bodies win ~6% on the sampler at 2048-point tiles but miscompile on the
+    axon Mosaic toolchain once trained logit magnitudes drift (flagship
+    training NaN at step 2600, clean unchunked; BASELINE.md round 4). The
+    knob exists to A/B the pipelined bodies on TPU without retracing."""
+    v = os.environ.get("GECCO_PIPELINE_CHUNKS")
+    if not v:
+        return default
+    try:
+        cv = int(v)
+    except ValueError:
+        cv = -1
+    if cv <= 0 or tn % cv != 0:
+        print(
+            f"[gecco_tpu] ignoring invalid GECCO_PIPELINE_CHUNKS={v!r} "
+            f"(need a positive divisor of tile {tn}); using {default}",
+            file=sys.stderr,
+        )
+        return default
+    if cv != default:
+        print(
+            f"[gecco_tpu] GECCO_PIPELINE_CHUNKS={cv} overrides the "
+            f"shape-derived chunk count {default} (tile {tn})",
+            file=sys.stderr,
+        )
+    return cv
+
+
 def _tn_env(name: str, tn: int, n: int) -> int:
     """Experiment knob: GECCO_TN_<NAME> overrides a forward kernel's point
     tile (must divide n; VMEM budget is the caller's problem). Perf
@@ -1033,13 +1064,18 @@ def _pool_ext_kernel_wfold(
         sacc_ref[0] = jnp.zeros_like(sacc_ref[0])
         uacc_scratch[:] = jnp.zeros_like(uacc_scratch)
 
-    # software-pipeline the tile in row chunks (round-4 VERDICT #1): the
-    # chunks share ONE online-softmax correction — the joint tile max is
-    # exactly the max over all chunks — so the accumulator update stays a
-    # single corrected FMA while chunk k+1's logits matmul (MXU) can
-    # overlap chunk k's exp (VPU).
+    # software-pipelined tile body (row chunks sharing ONE online-softmax
+    # correction — the joint tile max is exactly the max over all chunks).
+    # DEFAULT IS 1 (unchunked): the chunked bodies (4/8-way, round 4)
+    # trained NaN-free in interpret mode and on-TPU micro-tests, but the
+    # flagship 30k training run deterministically went NaN at step 2600
+    # with default chunks and was clean with GECCO_PIPELINE_CHUNKS=1 —
+    # the same failure class as the round-2 Mosaic miscompile of reductions
+    # in LARGE kernel bodies (BASELINE.md round-4 notes). Chunking is worth
+    # ~0.9 clouds/s on the sampler headline; re-enable via the env knob
+    # only for inference experiments until the miscompile is isolated.
     tn = x.shape[0]
-    nchunk = 4 if tn % 1024 == 0 else (2 if tn % 2 == 0 else 1)
+    nchunk = _pipeline_chunks(1, tn)
     step = tn // nchunk
     chunks = tuple(slice(q * step, (q + 1) * step) for q in range(nchunk))
     qf = qf_ref[:]
@@ -1665,13 +1701,13 @@ def _unpool_kernel(
     def _():
         sums_ref[0] = jnp.zeros_like(sums_ref[0])
 
-    # software-pipeline the tile in row chunks: the logits matmul of chunk
-    # k+1 (MXU) is independent of chunk k's softmax (VPU), so issuing them
-    # interleaved lets the decoupled MXU/VPU queues overlap — the serial
-    # s -> softmax -> attn chain is what held the kernel 15% over its HBM
-    # stream bound (round-3 xprof; round-4 VERDICT #1; 2-way measured
-    # 1.111 -> 1.055 ms/layer).
-    nchunk = 8 if tn % 1024 == 0 else (2 if tn % 2 == 0 else 1)
+    # software-pipelined tile body (chunk k+1's logits matmul on the MXU
+    # overlaps chunk k's softmax on the VPU; 8-way measured 1.111 -> 1.005
+    # ms/layer). DEFAULT IS 1 (unchunked): flagship training went NaN at
+    # step 2600 with default chunks and was clean unchunked — see the pool
+    # kernel's note and BASELINE.md round-4; opt back in via
+    # GECCO_PIPELINE_CHUNKS for inference experiments only.
+    nchunk = _pipeline_chunks(1, tn)
     step = tn // nchunk
     halves = tuple(slice(q * step, (q + 1) * step) for q in range(nchunk))
     bmap = bmap_ref[:]
