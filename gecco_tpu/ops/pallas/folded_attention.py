@@ -138,6 +138,20 @@ def _blockwise_softmax_lastaxis(s, block, bmap=None, return_active=False, bmapt=
     round-3 notes).
     """
     nb = s.shape[-1] // block
+    if os.environ.get("GECCO_SOFTMAX_R4") != "1":
+        # DEFAULT: the round-3-certified softmax machinery — iota-compare
+        # masked maxima and a direct full-width divide. The round-4
+        # formulation (bmapt operand-broadcast max masks + narrow
+        # reciprocal-multiply, ~0.3 ms/eval faster) is mathematically
+        # identical and passes interpret-mode parity, but flagship
+        # training on axon Mosaic diverges to NaN deterministically once
+        # trained logit magnitudes drift — at step 6100 with the 2048-pt
+        # unpool tile and step 15200 with the 1024-pt tile (round-4
+        # continuation bisect, BASELINE.md), while the round-3
+        # formulation ran 30k steps clean. Same toolchain failure class
+        # as the round-2 lane-slice reduction miscompile. GECCO_SOFTMAX_R4=1
+        # opts back in for inference experiments only.
+        bmapt = None
     if bmap is not None:
         if bmapt is not None:
             # cheaper max machinery with the transposed block map as an
@@ -172,18 +186,28 @@ def _blockwise_softmax_lastaxis(s, block, bmap=None, return_active=False, bmapt=
         sums = jax.lax.dot_general(
             e, bmap, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )  # [TN, nb]
-        # reciprocal on the NARROW [TN, nb] sums, then expand and multiply:
-        # a full-width [TN, J] fp32 divide is a multi-cycle VPU op per
-        # element, the multiply is single-cycle (round-4 kernel pipelining)
-        rexp = jax.lax.dot_general(
-            1.0 / sums, bmap, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        if os.environ.get("GECCO_SOFTMAX_R4") == "1":
+            # reciprocal on the NARROW [TN, nb] sums, then expand and
+            # multiply: a full-width [TN, J] fp32 divide is a multi-cycle
+            # VPU op per element, the multiply is single-cycle. Opt-in:
+            # part of the round-4 formulation that diverges in training
+            # (see the max-path note above).
+            rexp = jax.lax.dot_general(
+                1.0 / sums, bmap, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            p = e * rexp
+        else:
+            sexp = jax.lax.dot_general(
+                sums, bmap, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            p = e / sexp
         if return_active:
             # backward callers need the exact jacobian of the CLAMPED
             # forward: de/ds = e only where the clamp is inactive
-            return e * rexp, (s - mexp > -80.0).astype(jnp.float32)
-        return e * rexp
+            return p, (s - mexp > -80.0).astype(jnp.float32)
+        return p
     outs = []
     for j in range(nb):
         blk = s[:, j * block : (j + 1) * block]
@@ -1751,12 +1775,19 @@ def _unpool_impl(x, se, be, k, v, wq, wo, num_heads, residual=True, prenorm=True
     i = k.shape[1]
     j = num_heads * i
     d = c // num_heads
-    # cap 2048: a whole flagship batch element per tile — the prologue fold
-    # runs once per element and the grid halves; measured 1.005 -> 0.912
-    # ms/layer (round 4; the chunked body keeps MXU/VPU overlap within the
-    # bigger tile, and the post-pipelining kernel fits the scoped window)
+    # cap 1024. The 2048-point tile (a whole flagship batch element per
+    # tile, round 4) measured 1.005 -> 0.912 ms/layer but its doubled
+    # kernel body MISCOMPILES on the axon Mosaic toolchain once trained
+    # logit magnitudes drift: flagship training NaN at step 6100 with the
+    # unchunked 2048-tile body (and step 2600 chunked), deterministic,
+    # loss healthy until the step before; the identical run with
+    # GECCO_TN_UNPOOL=1024 runs clean through 20k steps (round-4
+    # continuation bisect, BASELINE.md). Same failure class as the
+    # round-2 64-wide lane-slice reduction miscompile: only large kernel
+    # bodies, only at trained magnitudes. GECCO_TN_UNPOOL=2048 re-enables
+    # the big tile for inference experiments.
     tn = _tn_env("UNPOOL", _pick_tile_n(n, row_bytes=_unpool_row_bytes(c, j),
-                 fixed_bytes=_unpool_fixed_bytes(c, j, i), cap=2048), n)
+                 fixed_bytes=_unpool_fixed_bytes(c, j, i), cap=1024), n)
     naive = tn * _unpool_row_bytes(c, j) + _unpool_fixed_bytes(c, j, i)
     if os.environ.get("GECCO_DEBUG_TILES"):
         print(f"[gecco_tpu] unpool tile: b={b} n={n} c={c} j={j} tn={tn} "
