@@ -67,6 +67,13 @@ __all__ = [
 
 _EPS = 1e-5
 
+# GECCO_SOFTMAX_R4=1 opts into the round-4 softmax formulation (bmapt
+# operand-broadcast max masks + narrow reciprocal-multiply) for inference
+# experiments. Read ONCE at import: jit caches are not keyed on env vars,
+# so a per-trace read could silently disagree with an earlier compile (and
+# two reads within one trace could even disagree with each other).
+_SOFTMAX_R4 = os.environ.get("GECCO_SOFTMAX_R4") == "1"
+
 
 def _twin_bwd(which: str = "") -> bool:
     """Debug escape hatch: GECCO_TWIN_BWD routes fused-kernel backwards
@@ -138,19 +145,25 @@ def _blockwise_softmax_lastaxis(s, block, bmap=None, return_active=False, bmapt=
     round-3 notes).
     """
     nb = s.shape[-1] // block
-    if os.environ.get("GECCO_SOFTMAX_R4") != "1":
+    if not _SOFTMAX_R4:
         # DEFAULT: the round-3-certified softmax machinery — iota-compare
         # masked maxima and a direct full-width divide. The round-4
         # formulation (bmapt operand-broadcast max masks + narrow
         # reciprocal-multiply, ~0.3 ms/eval faster) is mathematically
-        # identical and passes interpret-mode parity, but flagship
-        # training on axon Mosaic diverges to NaN deterministically once
-        # trained logit magnitudes drift — at step 6100 with the 2048-pt
-        # unpool tile and step 15200 with the 1024-pt tile (round-4
-        # continuation bisect, BASELINE.md), while the round-3
-        # formulation ran 30k steps clean. Same toolchain failure class
-        # as the round-2 lane-slice reduction miscompile. GECCO_SOFTMAX_R4=1
-        # opts back in for inference experiments only.
+        # identical and passes interpret-mode parity, but every round-4
+        # flagship training run containing it diverged to NaN once trained
+        # logit magnitudes drifted: step 2600 (chunked bodies + 2048-pt
+        # unpool tile), step 4700 (unchunked + 2048-pt tile,
+        # runs/r4b_flagship.log), step 11300 (unchunked + 1024-pt tile,
+        # runs/r4b_flagship_tn1024.log — its 20k final eval scored
+        # mmd=NaN). The tile size and the softmax formulation changed
+        # together across those arms, so the culprit is NOT isolated to
+        # one of the two — both were reverted. Round-3's formulation (this
+        # default) ran 30k steps clean in round 3; its certification on
+        # top of the round-4 kernel-body restructuring is round 5's job
+        # (runs/r5_flagship.log). Same toolchain failure class as the
+        # round-2 lane-slice reduction miscompile. GECCO_SOFTMAX_R4=1 opts
+        # back in for inference experiments only.
         bmapt = None
     if bmap is not None:
         if bmapt is not None:
@@ -186,7 +199,7 @@ def _blockwise_softmax_lastaxis(s, block, bmap=None, return_active=False, bmapt=
         sums = jax.lax.dot_general(
             e, bmap, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )  # [TN, nb]
-        if os.environ.get("GECCO_SOFTMAX_R4") == "1":
+        if _SOFTMAX_R4:
             # reciprocal on the NARROW [TN, nb] sums, then expand and
             # multiply: a full-width [TN, J] fp32 divide is a multi-cycle
             # VPU op per element, the multiply is single-cycle. Opt-in:
@@ -1747,7 +1760,10 @@ def _unpool_kernel(
         ) + brow
         for sl in halves
     ]
-    ps = [_blockwise_softmax_lastaxis(s, i, bmap, bmapt=bmapt) for s in ss]
+    ps = [
+        _blockwise_softmax_lastaxis(s, i, bmap, bmapt=bmapt if _SOFTMAX_R4 else None)
+        for s in ss
+    ]
     attns = [
         jax.lax.dot_general(
             p.astype(x.dtype), vf, (((1,), (0,)), ((), ())),
@@ -1776,16 +1792,19 @@ def _unpool_impl(x, se, be, k, v, wq, wo, num_heads, residual=True, prenorm=True
     j = num_heads * i
     d = c // num_heads
     # cap 1024. The 2048-point tile (a whole flagship batch element per
-    # tile, round 4) measured 1.005 -> 0.912 ms/layer but its doubled
-    # kernel body MISCOMPILES on the axon Mosaic toolchain once trained
-    # logit magnitudes drift: flagship training NaN at step 6100 with the
-    # unchunked 2048-tile body (and step 2600 chunked), deterministic,
-    # loss healthy until the step before; the identical run with
-    # GECCO_TN_UNPOOL=1024 runs clean through 20k steps (round-4
-    # continuation bisect, BASELINE.md). Same failure class as the
-    # round-2 64-wide lane-slice reduction miscompile: only large kernel
-    # bodies, only at trained magnitudes. GECCO_TN_UNPOOL=2048 re-enables
-    # the big tile for inference experiments.
+    # tile, round 4) measured 1.005 -> 0.912 ms/layer, but every round-4
+    # flagship training run with it diverged to NaN once trained logit
+    # magnitudes drifted — step 2600 (chunked bodies) and step 4700
+    # (unchunked, runs/r4b_flagship.log), loss healthy until the step
+    # before. The GECCO_TN_UNPOOL=1024 arm ALSO diverged, later (step
+    # 11300, runs/r4b_flagship_tn1024.log) — but that arm still carried
+    # the round-4 softmax formulation, so the bisect is confounded between
+    # tile size and softmax machinery; both were reverted to the round-3
+    # defaults (this cap + the r3 softmax in _blockwise_softmax_lastaxis).
+    # Likely the same failure class as the round-2 64-wide lane-slice
+    # reduction miscompile: only large kernel bodies, only at trained
+    # magnitudes. GECCO_TN_UNPOOL=2048 re-enables the big tile for
+    # inference experiments.
     tn = _tn_env("UNPOOL", _pick_tile_n(n, row_bytes=_unpool_row_bytes(c, j),
                  fixed_bytes=_unpool_fixed_bytes(c, j, i), cap=1024), n)
     naive = tn * _unpool_row_bytes(c, j) + _unpool_fixed_bytes(c, j, i)
@@ -1811,7 +1830,12 @@ def _unpool_impl(x, se, be, k, v, wq, wo, num_heads, residual=True, prenorm=True
             pl.BlockSpec((c, c), lambda bi, ni: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((c, c), lambda bi, ni: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((j, num_heads), lambda bi, ni: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((num_heads, j), lambda bi, ni: (0, 0), memory_space=pltpu.VMEM),
+            # when the r4 softmax is off, the kernel never reads bmapt —
+            # ship a [1, 128] dummy instead of DMA-ing the dead [H, J] map
+            pl.BlockSpec(
+                (num_heads, j) if _SOFTMAX_R4 else (1, 128),
+                lambda bi, ni: (0, 0), memory_space=pltpu.VMEM,
+            ),
         ],
         out_specs=[
             pl.BlockSpec((1, tn, c), lambda bi, ni: (bi, ni, 0), memory_space=pltpu.VMEM),
@@ -1831,7 +1855,8 @@ def _unpool_impl(x, se, be, k, v, wq, wo, num_heads, residual=True, prenorm=True
     )(
         x, se[:, None, :], be[:, None, :], k, v, wq, wo,
         block_map(j, num_heads),
-        block_map(j, num_heads).T,
+        block_map(j, num_heads).T if _SOFTMAX_R4
+        else jnp.zeros((1, 128), jnp.float32),
     )
     # tie outputs against pallas-output DCE (axon Mosaic bug); the in-place
     # single-element form — the old full-tensor `out + 0*sums[0,0,0]` cost a
@@ -1934,7 +1959,10 @@ def _unpool_bwd_kernel(
         y, kft_scratch[:], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    p, act = _blockwise_softmax_lastaxis(s, i, bmap, return_active=True, bmapt=bmapt_ref[:])
+    p, act = _blockwise_softmax_lastaxis(
+        s, i, bmap, return_active=True,
+        bmapt=bmapt_ref[:] if _SOFTMAX_R4 else None,
+    )
     p_b = p.astype(y.dtype)
     attn = jax.lax.dot_general(
         p_b, vf_scratch[:], (((1,), (0,)), ((), ())),
@@ -2022,7 +2050,10 @@ def _unpool_bwd_impl(x, se, be, k, v, wq, wo, g, g_sums, num_heads, residual, pr
             pl.BlockSpec((c, c), lambda bi, ni: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((c, c), lambda bi, ni: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((j, num_heads), lambda bi, ni: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((num_heads, j), lambda bi, ni: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (num_heads, j) if _SOFTMAX_R4 else (1, 128),
+                lambda bi, ni: (0, 0), memory_space=pltpu.VMEM,
+            ),
             pl.BlockSpec((1, tn, c), lambda bi, ni: (bi, ni, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 2, c), lambda bi, ni: (bi, 0, 0), memory_space=pltpu.VMEM),
         ],
@@ -2049,7 +2080,8 @@ def _unpool_bwd_impl(x, se, be, k, v, wq, wo, g, g_sums, num_heads, residual, pr
     )(
         x, se[:, None, :], be[:, None, :], k, v, wq, wo,
         block_map(j, num_heads),
-        block_map(j, num_heads).T,
+        block_map(j, num_heads).T if _SOFTMAX_R4
+        else jnp.zeros((1, 128), jnp.float32),
         g, g_sums,
     )
     dx, dkf, dvf, dse, dbe = outs
