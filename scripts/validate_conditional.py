@@ -95,6 +95,13 @@ def main():
     ap.add_argument("--layers", type=int, default=6)
     ap.add_argument("--feature-dim", type=int, default=384)
     ap.add_argument("--cpu", action="store_true", help="smoke-test on the CPU backend")
+    ap.add_argument(
+        "--snapshot-every", type=int, default=2000,
+        help="rotating pre-divergence snapshots (model/ema/opt), keep 2; "
+        "a NaN abort leaves a bisectable state (0 disables)",
+    )
+    ap.add_argument("--save-ema", default="",
+                    help="orbax-save the final EMA tree under <dir>/ema")
     args = ap.parse_args()
 
     if args.cpu:
@@ -202,10 +209,23 @@ def main():
             f.write(json.dumps(rec) + "\n")
         return rec
 
+    def save_state(tag, step_no):
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(args.out + ".snapshots/" + tag)
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(os.path.join(path, "model"), model, force=True)
+        ckptr.save(os.path.join(path, "ema"), ema, force=True)
+        ckptr.save(os.path.join(path, "opt"), opt_state, force=True)
+        ckptr.wait_until_finished()
+        print(f"[validate] saved {tag} at step {step_no} -> {path}", flush=True)
+        return path
+
     key = jax.random.PRNGKey(5)
     order = np.arange(args.n_train)
     t0 = time.perf_counter()
     losses = []
+    snaps = []
     for step in range(args.steps):
         if step % (args.n_train // args.batch) == 0:
             rng.shuffle(order)
@@ -222,11 +242,34 @@ def main():
         if step % 250 == 0:
             lv = float(loss)
             losses.append(lv)
-            assert np.isfinite(lv), f"NaN loss at {step}"
+            if not np.isfinite(lv):
+                save_state("divergent", step)
+                with open(args.out, "a") as f:
+                    f.write(json.dumps({
+                        "step": step, "aborted": "non-finite loss",
+                        "last_snapshots": snaps[-2:],
+                    }) + "\n")
+                print(f"[validate] ABORT: non-finite loss at step {step}; "
+                      f"pre-divergence snapshots: {snaps[-2:]}", flush=True)
+                raise SystemExit(3)
             rate = (step + 1) / (time.perf_counter() - t0)
             print(f"step {step} loss {lv:.4f} ({rate:.1f} it/s)", flush=True)
+        if args.snapshot_every and (step + 1) % args.snapshot_every == 0:
+            snaps.append(save_state(f"snap-{step + 1}", step + 1))
+            while len(snaps) > 2:
+                import shutil
+
+                shutil.rmtree(snaps.pop(0), ignore_errors=True)
         if step > 0 and step % args.eval_every == 0:
             evaluate(ema, step, args.sampler_steps, "periodic")
+
+    if args.save_ema:
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(os.path.abspath(os.path.join(args.save_ema, "ema")), ema)
+        ckptr.wait_until_finished()
+        print(f"saved final EMA under {args.save_ema}/ema", flush=True)
 
     evaluate(ema, args.steps, args.sampler_steps, "final-64")
     evaluate(ema, args.steps, args.final_eval_solver_steps, "final-128")

@@ -26,6 +26,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import shutil
 import time
 
 import jax
@@ -130,6 +131,29 @@ def main():
         "batch 48 (plain attention OOMs HBM without it); the fused-kernel "
         "path fits without and runs ~14%% faster",
     )
+    ap.add_argument(
+        "--snapshot-every", type=int, default=1000,
+        help="rotating pre-divergence snapshots (model/ema/opt) every N "
+        "steps, keeping the last 2 — a NaN abort then leaves a bisectable "
+        "state at most N steps before the divergence (round-4 lesson: the "
+        "r4b runs burned 2800+ steps printing 'loss nan' and left nothing "
+        "to bisect from; 0 disables)",
+    )
+    ap.add_argument(
+        "--snapshot-dir", default="",
+        help="snapshot directory (default: <out>.snapshots)",
+    )
+    ap.add_argument(
+        "--restore", default="",
+        help="resume model/ema/opt from a snapshot dir saved by "
+        "--snapshot-every (for single-variable divergence bisects: restore "
+        "the last clean state, change ONE kernel env knob, rerun)",
+    )
+    ap.add_argument(
+        "--start-step", type=int, default=0,
+        help="first step index when resuming (affects LR schedule position, "
+        "data stream and PRNG folding)",
+    )
     args = ap.parse_args()
 
     from gecco_tpu import Diffusion, GaussianReparam, LogUniformSchedule
@@ -205,9 +229,48 @@ def main():
             f.write(json.dumps(rec) + "\n")
         print(rec, flush=True)
 
+    def save_state(tag, step_no):
+        """Orbax-save (model, ema, opt) under <snapshot-dir>/<tag>."""
+        import orbax.checkpoint as ocp
+
+        base = args.snapshot_dir or (args.out + ".snapshots")
+        path = os.path.abspath(os.path.join(base, tag))
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(os.path.join(path, "model"), model, force=True)
+        ckptr.save(os.path.join(path, "ema"), ema, force=True)
+        ckptr.save(os.path.join(path, "opt"), opt_state, force=True)
+        ckptr.wait_until_finished()
+        print(f"[validate] saved {tag} at step {step_no} -> {path}", flush=True)
+        return path
+
+    if args.restore:
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        base = os.path.abspath(args.restore)
+        model = ckptr.restore(
+            os.path.join(base, "model"),
+            jax.tree.map(ocp.utils.to_shape_dtype_struct, model),
+        )
+        ema = ckptr.restore(
+            os.path.join(base, "ema"),
+            jax.tree.map(ocp.utils.to_shape_dtype_struct, ema),
+        )
+        opt_state = ckptr.restore(
+            os.path.join(base, "opt"),
+            jax.tree.map(ocp.utils.to_shape_dtype_struct, opt_state),
+        )
+        print(f"[validate] restored snapshot {base}", flush=True)
+        # reseed the host data stream deterministically from the resume
+        # point: every bisect arm resuming from the same snapshot sees the
+        # same batches (replaying the original generator exactly would cost
+        # minutes of host RNG; i.i.d. procedural data makes it unnecessary)
+        rng = np.random.default_rng((917, args.start_step))
+
     t0 = time.time()
     losses = []
-    for i in range(args.steps):
+    snaps: list[str] = []
+    for i in range(args.start_step, args.steps):
         pts = jnp.asarray(make_clouds(rng, args.batch, args.n_points, args.families))
         loss, model, ema, opt_state = step(
             model, ema, opt_state, pts, None, jax.random.fold_in(key, i)
@@ -215,6 +278,27 @@ def main():
         if i % 100 == 0:
             losses.append(float(loss))
             print(f"step {i} loss {losses[-1]:.4f}", flush=True)
+            if not np.isfinite(losses[-1]):
+                # NaN abort (round-4 lesson: the r4b runs printed 'loss nan'
+                # for thousands of steps, then spent the final-eval budget
+                # sampling a NaN model — and left no bisectable state).
+                # Save the divergent state next to the last clean snapshot.
+                save_state("divergent", i)
+                with open(args.out, "a") as f:
+                    f.write(json.dumps({
+                        "step": i, "attn_impl": args.attn_impl,
+                        "aborted": "non-finite loss",
+                        "last_snapshots": snaps[-2:],
+                    }) + "\n")
+                print(
+                    f"[validate] ABORT: non-finite loss at step {i}; "
+                    f"pre-divergence snapshots: {snaps[-2:]}", flush=True,
+                )
+                raise SystemExit(3)
+        if args.snapshot_every and (i + 1) % args.snapshot_every == 0:
+            snaps.append(save_state(f"snap-{i + 1}", i + 1))
+            while len(snaps) > 2:  # rotate, keep the last two
+                shutil.rmtree(snaps.pop(0), ignore_errors=True)
         if (i + 1) % args.eval_every == 0 or i + 1 == args.steps:
             evaluate(ema, i + 1, t0)
 
