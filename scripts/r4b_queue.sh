@@ -5,9 +5,17 @@ set -u
 cd "$(dirname "$0")/.."
 mkdir -p runs
 
-# wait for the in-flight bench.py to finish (it appends rc=N when done)
+# wait for the in-flight bench.py to finish (it appends rc=N when done);
+# bounded: give up after ~1h rather than hanging forever if the bench was
+# never launched or logs elsewhere
+waited=0
 while [ ! -f runs/r4b_bench_flagship.log ] || ! grep -q '^rc=' runs/r4b_bench_flagship.log; do
   sleep 10
+  waited=$((waited + 10))
+  if [ "$waited" -ge 3600 ]; then
+    echo "=== [$(date -u +%H:%M:%S)] timed out waiting for bench log" | tee -a runs/r4b_queue.log
+    exit 1
+  fi
 done
 echo "=== [$(date -u +%H:%M:%S)] bench done, starting flagship run" | tee -a runs/r4b_queue.log
 
