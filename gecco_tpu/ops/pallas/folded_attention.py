@@ -74,6 +74,14 @@ _EPS = 1e-5
 # two reads within one trace could even disagree with each other).
 _SOFTMAX_R4 = os.environ.get("GECCO_SOFTMAX_R4") == "1"
 
+# GECCO_POOL_BWD=v1 routes the pool-ext backward through the round-4
+# two-pass kernel body (per-head lane-sliced e^T v accumulators + dp
+# materialised in both passes). The round-5 default restructures pass 0
+# around one full-width [J, C] e^T v matmul and pre-folds 1/sacc into the
+# block-placement matrix — same math, fewer VPU passes. Read once at
+# import (see _SOFTMAX_R4).
+_POOL_BWD_V1 = os.environ.get("GECCO_POOL_BWD") == "v1"
+
 
 def _twin_bwd(which: str = "") -> bool:
     """Debug escape hatch: GECCO_TWIN_BWD routes fused-kernel backwards
@@ -386,14 +394,32 @@ def _pool_ext_wfold_fixed_bytes(c, j, num_heads):
     return 2 * num_heads * c * c + 2 * c * j + 4 * j * j + 4 * j * c
 
 
-def _pool_ext_bwd_row_bytes(c, j):
-    return 16 * c + 22 * j  # recompute rows + dp/p/ds planes (two passes)
+def _pool_ext_bwd_row_bytes(c, j, v1=False):
+    if v1:
+        return 16 * c + 22 * j  # recompute rows + dp/p/ds planes (two passes)
+    return 16 * c + 18 * j  # v2: no per-tile p plane (inv_s pre-folded)
 
 
-def _pool_ext_bwd_fixed_bytes(c, j, d):
-    # qf/kvw/wo/eyec bf16 + eyej fp32 + dm/pacc scratch + dqf/dwv/dwo fp32
-    return 10 * c * c + 2 * c * j + 4 * j * j + 2 * j * c + 4 * j * d \
+def _pool_ext_bwd_fixed_bytes(c, j, d, v1=False):
+    # qf/kvw/wo/eyec bf16 + eyej fp32 + dm/pacc scratch + dqf/dwv/dwo fp32;
+    # v2's pacc is the full-width [J, C] e^T v accumulator
+    pacc = 4 * j * d if v1 else 4 * j * c
+    return 10 * c * c + 2 * c * j + 4 * j * j + 2 * j * c + pacc \
         + 4 * c * j + 8 * c * c
+
+
+def _pool_bwd_v1_for(n, c, j, d):
+    """Whether the v1 kernel body serves this shape: forced by
+    GECCO_POOL_BWD=v1, or because v2's full-width [J, C] accumulator
+    pushes the kernel past the VMEM budget at every tile (the 8k config:
+    28.2 MB naive at TN=128 vs the 26 MB budget — v1's [J, D] accumulator
+    stays at 25.7)."""
+    if _POOL_BWD_V1:
+        return True
+    return not _tile_fits(
+        n, _pool_ext_bwd_row_bytes(c, j),
+        _pool_ext_bwd_fixed_bytes(c, j, d), cap=512,
+    )
 
 
 def _unpool_row_bytes(c, j):
@@ -1357,14 +1383,17 @@ _pool_ext_p.def_partition(
 )
 
 
-def _pool_ext_bwd_kernel(
+def _pool_ext_bwd_kernel_v1(
     x_ref, se_ref, be_ref, qf_ref, kvw_ref, wo_ref, eyej_ref, eyec_ref,
     gh_ref, macc_ref, sacc_ref,
     dx_ref, dse_ref, dbe_ref, dqf_ref, dwv_ref, dwo_ref,
     dm_scratch, pacc_scratch, tacc_scratch,
     *, num_heads: int, num_inducers: int,
 ):
-    """Two passes over the point tiles of one batch element (grid
+    """Round-4 two-pass pool backward, kept under GECCO_POOL_BWD=v1 for
+    bisection (the round-5 default is ``_pool_ext_bwd_kernel`` below).
+
+    Two passes over the point tiles of one batch element (grid
     (b, 2, nt)): pass 0 accumulates the softmax-backward inner products
     t_j = sum_n p*dp and the pooled values (for dwo); pass 1 recomputes the
     tile forward and emits dx/dse/dbe and the weight-grad accumulators.
@@ -1489,17 +1518,174 @@ def _pool_ext_bwd_kernel(
         )  # [C(out), C(in)]
 
 
+def _pool_ext_bwd_kernel(
+    x_ref, se_ref, be_ref, qf_ref, kvw_ref, wo_ref, eyej_ref, eyec_ref,
+    gh_ref, macc_ref, sacc_ref,
+    dx_ref, dse_ref, dbe_ref, dqf_ref, dwv_ref, dwo_ref,
+    dm_scratch, pacc_scratch, tacc_scratch,
+    *, num_heads: int, num_inducers: int,
+):
+    """Round-5 restructured two-pass pool backward (same grid/operands as
+    v1 above; identical mathematics — associativity only). Two changes
+    against v1, both aimed at the VPU/relayout time between MXU calls
+    that held v1 at 53-65%% of its FLOP floor (BASELINE.md round-4
+    accounting):
+
+    1. pass 0 accumulates the FULL-WIDTH ``[J, C] = e^T v`` product in
+       one MXU matmul per tile (v1: 8 lane-sliced per-head [TN,I]x[TN,D]
+       matmuls at D=48 — layout-hostile) and never materialises ``dp``:
+       the softmax-backward inner products follow algebraically at the
+       last tile from t_j = rowsum(DM ∘ e^T v)_j / sacc_j, because DM's
+       rows are zero outside their head's column block. This removes the
+       [TN,C]x[C,J] dp matmul AND the [TN,J] fp32 e*dp multiply-reduce
+       from every pass-0 tile.
+    2. the softmax normaliser 1/sacc is folded into the block-placement
+       matrix ONCE per batch element (``DMs = DM * inv_s rows``), so
+       pass 1 computes ds = e ∘ (v @ DMs^T − T) ∘ clampmask and
+       dv = e @ DMs directly — the per-tile [TN, J] fp32 ``p = e * inv_s``
+       materialisation is gone.
+    """
+    pz = pl.program_id(1)
+    ni = pl.program_id(2)
+    nt = pl.num_programs(2)
+    x = x_ref[0]  # [TN, C]
+    c = x.shape[-1]
+    d = c // num_heads
+    i = num_inducers
+
+    first_all = jnp.logical_and(
+        pl.program_id(0) == 0, jnp.logical_and(pz == 0, ni == 0)
+    )
+
+    @pl.when(first_all)
+    def _():
+        dqf_ref[:] = jnp.zeros_like(dqf_ref)
+        dwv_ref[:] = jnp.zeros_like(dwv_ref)
+        dwo_ref[:] = jnp.zeros_like(dwo_ref)
+
+    @pl.when(jnp.logical_and(pz == 0, ni == 0))
+    def _():
+        # DMs[hI+i', c'] = dmerged[i', c'] / sacc[hI+i'] on head h's
+        # column block, else 0 (dmerged = gh @ wo)
+        gh_b = gh_ref[0]
+        dmerged = jax.lax.dot_general(
+            gh_b, wo_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [I, C]
+        inv_colJ = jax.lax.dot_general(
+            eyej_ref[:], 1.0 / sacc_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [J, 1]
+        col_head = jax.lax.broadcasted_iota(jnp.int32, (i, c), 1) // d
+        for h in range(num_heads):
+            dm_scratch[h * i : (h + 1) * i, :] = (
+                jnp.where(col_head == h, dmerged, 0.0)
+                * inv_colJ[h * i : (h + 1) * i, :]
+            ).astype(dm_scratch.dtype)
+        pacc_scratch[:] = jnp.zeros_like(pacc_scratch)
+        tacc_scratch[:] = jnp.zeros_like(tacc_scratch)
+        dse_ref[0] = jnp.zeros_like(dse_ref[0])
+        dbe_ref[0] = jnp.zeros_like(dbe_ref[0])
+
+    # --- shared tile recompute (identical in both passes)
+    se = se_ref[0]
+    y = (x.astype(jnp.float32) * se + be_ref[0]).astype(x.dtype)
+    s = jax.lax.dot_general(
+        y, qf_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [TN, J]
+    e = jnp.exp(jnp.maximum(s - macc_ref[0], -80.0))
+    v = jax.lax.dot_general(
+        y, kvw_ref[c : 2 * c, :], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(y.dtype)  # [TN, C]
+    e_b = e.astype(y.dtype)
+
+    @pl.when(pz == 0)
+    def _():
+        pacc_scratch[:] += jax.lax.dot_general(
+            e_b, v, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [J, C] full-width e^T v
+
+    @pl.when(jnp.logical_and(pz == 0, ni == nt - 1))
+    def _():
+        inv_s = 1.0 / sacc_ref[0]  # [1, J]
+        # T_j = inv_s_j * t_j = inv_s_j * rowsum(DMs ∘ e^T v)_j — DMs is
+        # already row-scaled, so one [J, C] elementwise product and a
+        # ones-contraction give the [1, J] row vector directly
+        tacc_scratch[:] = jax.lax.dot_general(
+            jnp.ones((1, c), jnp.float32),
+            dm_scratch[:].astype(jnp.float32) * pacc_scratch[:],
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * inv_s
+        # dwo from the normalised pooled values: head-block extraction of
+        # (e^T v) / sacc into merged [I, C]
+        inv_colJ = jax.lax.dot_general(
+            eyej_ref[:], inv_s, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [J, 1]
+        pnorm = pacc_scratch[:] * inv_colJ  # [J, C] fp32
+        col_head = jax.lax.broadcasted_iota(jnp.int32, (i, c), 1) // d
+        merged = jnp.zeros((i, c), jnp.float32)
+        for h in range(num_heads):
+            merged += jnp.where(
+                col_head == h, pnorm[h * i : (h + 1) * i, :], 0.0
+            )
+        dwo_ref[:] += jax.lax.dot_general(
+            gh_ref[0], merged.astype(y.dtype), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [C(out), C(in)]
+
+    @pl.when(pz == 1)
+    def _():
+        dp_s = jax.lax.dot_general(
+            v, dm_scratch[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [TN, J] = dp ∘ inv_s columns
+        # clamp-masked jacobian (de/ds = 0 where the -80 clamp bound);
+        # normaliser pre-folded — no p materialisation
+        ds = e * (dp_s - tacc_scratch[:]) * (
+            s - macc_ref[0] > -80.0
+        ).astype(jnp.float32)
+        ds_b = ds.astype(y.dtype)
+        dy = jax.lax.dot_general(
+            ds_b, qf_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [TN, C]
+        dv = jax.lax.dot_general(
+            e_b, dm_scratch[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(y.dtype)  # p @ DM == e @ DMs
+        dy += jax.lax.dot_general(
+            dv, kvw_ref[c : 2 * c, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dx_ref[0] = (dy * se).astype(dx_ref.dtype)
+        dse_ref[0] += jnp.sum(dy * x.astype(jnp.float32), axis=0, keepdims=True)
+        dbe_ref[0] += jnp.sum(dy, axis=0, keepdims=True)
+        dqf_ref[:] += jax.lax.dot_general(
+            y, ds_b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [C, J]
+        dwv_ref[:] += jax.lax.dot_general(
+            dv, y, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [C(out), C(in)]
+
+
 def _pool_ext_bwd_impl(x, se, be, ind2, kvw, wo, g_h0, macc, sacc, num_heads):
     b, n, c = x.shape
     j, d = ind2.shape
     i = j // num_heads
-    tn = _pick_tile_n(n, row_bytes=_pool_ext_bwd_row_bytes(c, j),
-                      fixed_bytes=_pool_ext_bwd_fixed_bytes(c, j, d), cap=512)
-    naive = tn * _pool_ext_bwd_row_bytes(c, j) + _pool_ext_bwd_fixed_bytes(c, j, d)
+    v1 = _pool_bwd_v1_for(n, c, j, d)
+    tn = _pick_tile_n(n, row_bytes=_pool_ext_bwd_row_bytes(c, j, v1),
+                      fixed_bytes=_pool_ext_bwd_fixed_bytes(c, j, d, v1), cap=512)
+    naive = tn * _pool_ext_bwd_row_bytes(c, j, v1) \
+        + _pool_ext_bwd_fixed_bytes(c, j, d, v1)
     qf = _fold_qf(ind2, kvw, num_heads).astype(x.dtype)
     outs = pl.pallas_call(
         functools.partial(
-            _pool_ext_bwd_kernel,
+            _pool_ext_bwd_kernel_v1 if v1 else _pool_ext_bwd_kernel,
             num_heads=num_heads,
             num_inducers=i,
         ),
@@ -1537,7 +1723,8 @@ def _pool_ext_bwd_impl(x, se, be, ind2, kvw, wo, g_h0, macc, sacc, num_heads):
         ],
         scratch_shapes=[
             pltpu.VMEM((j, c), x.dtype),
-            pltpu.VMEM((j, d), jnp.float32),
+            # v1: per-head pooled values [J, D]; v2: full-width e^T v [J, C]
+            pltpu.VMEM((j, d if v1 else c), jnp.float32),
             pltpu.VMEM((1, j), jnp.float32),
         ],
         # the batch axis must be sequential: dqf/dwv/dwo accumulate
@@ -1651,9 +1838,10 @@ def _pool_ext_bwd(num_heads, res, g):
     x, se, be, ind2, kvw, wo, macc, sacc = res
     n, c = x.shape[1], x.shape[2]
     j, d = ind2.shape
+    v1 = _pool_bwd_v1_for(n, c, j, d)
     fits = _tile_fits(
-        n, _pool_ext_bwd_row_bytes(c, j),
-        _pool_ext_bwd_fixed_bytes(c, j, d), cap=512,
+        n, _pool_ext_bwd_row_bytes(c, j, v1),
+        _pool_ext_bwd_fixed_bytes(c, j, d, v1), cap=512,
     )
     if _twin_bwd("pool") or not fits:
         _, vjp = jax.vjp(

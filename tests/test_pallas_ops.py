@@ -628,6 +628,44 @@ def test_folded_pool_bwd_ext_decomposition(monkeypatch):
         np.testing.assert_allclose(np.asarray(a), np.asarray(t), rtol=2e-3, atol=2e-4)
 
 
+def test_pool_ext_bwd_v1_v2_equivalence(monkeypatch):
+    """The round-5 restructured pool backward (_pool_ext_bwd_kernel: one
+    full-width e^T v matmul in pass 0, 1/sacc pre-folded into the
+    placement matrix) is associativity-only vs the round-4 v1 body:
+    gradients agree tightly on the same operands. The shape gate
+    (_pool_bwd_v1_for) keeps the 8k config (C=768/J=1024) on v1, whose
+    [J, D] accumulator fits the VMEM budget where v2's [J, C] does not."""
+    from gecco_tpu.ops.pallas import folded_attention as fa
+
+    assert not fa._pool_bwd_v1_for(2048, 384, 512, 48)  # flagship -> v2
+    assert fa._pool_bwd_v1_for(8192, 768, 1024, 48)  # 8k -> v1
+
+    c, heads, i, b, n = 96, 4, 16, 2, 384  # 3 x 128 tiles
+    key = iter(jax.random.split(jax.random.PRNGKey(3), 10))
+    x = jax.random.normal(next(key), (b, n, c))
+    se = 1.0 + 0.1 * jax.random.normal(next(key), (b, c))
+    be = 0.1 * jax.random.normal(next(key), (b, c))
+    ind2 = jax.random.normal(next(key), (heads * i, c // heads))
+    kvw = jax.random.normal(next(key), (2 * c, c)) / c**0.5
+    wo = jax.random.normal(next(key), (c, c)) / c**0.5
+    args = (x, se, be, ind2, kvw, wo)
+
+    def grads():
+        return jax.grad(
+            lambda *a: (
+                fa.folded_pool_ext(*a, heads).astype(jnp.float32) ** 2
+            ).sum(),
+            argnums=(0, 1, 2, 3, 4, 5),
+        )(*args)
+
+    monkeypatch.setattr(fa, "_pool_bwd_v1_for", lambda *a: False)
+    g2 = grads()
+    monkeypatch.setattr(fa, "_pool_bwd_v1_for", lambda *a: True)
+    g1 = grads()
+    for a, t in zip(jax.tree.leaves(g2), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(t), rtol=2e-3, atol=2e-4)
+
+
 def test_fused_8k_path_uses_tiled_pool(monkeypatch):
     """The big-N fallback in BroadcastingLayer._fused_call routes through
     folded_pool_ext (forced via the fwd gate) and matches the plain path."""
