@@ -74,13 +74,24 @@ _EPS = 1e-5
 # two reads within one trace could even disagree with each other).
 _SOFTMAX_R4 = os.environ.get("GECCO_SOFTMAX_R4") == "1"
 
-# GECCO_POOL_BWD=v1 routes the pool-ext backward through the round-4
-# two-pass kernel body (per-head lane-sliced e^T v accumulators + dp
-# materialised in both passes). The round-5 default restructures pass 0
-# around one full-width [J, C] e^T v matmul and pre-folds 1/sacc into the
-# block-placement matrix — same math, fewer VPU passes. Read once at
-# import (see _SOFTMAX_R4).
-_POOL_BWD_V1 = os.environ.get("GECCO_POOL_BWD") == "v1"
+# GECCO_POOL_BWD forces the pool-ext backward body: "v1" is the round-4
+# two-pass kernel (per-head lane-sliced e^T v accumulators + dp
+# materialised in both passes), "v2" the round-5 default (one full-width
+# [J, C] e^T v matmul in pass 0, 1/sacc pre-folded into the placement
+# matrix — same math, fewer VPU passes), "v2j" the v2 body taking 1/sacc
+# as a [J, 1] column operand transposed in XLA instead of synthesising it
+# with an eye(J) matmul — drops the 4·J² identity from the VMEM tally,
+# which is what gates v2 off at the 8k config. Unset: v2 where it fits,
+# else v1 (v2j stays opt-in until certified on TPU). Read once at import
+# (see _SOFTMAX_R4).
+_POOL_BWD_ENV = os.environ.get("GECCO_POOL_BWD") or None
+if _POOL_BWD_ENV not in (None, "v1", "v2", "v2j"):
+    print(
+        f"[gecco_tpu] ignoring invalid GECCO_POOL_BWD={_POOL_BWD_ENV!r} "
+        "(expected v1|v2|v2j); using the shape-gated default",
+        file=sys.stderr,
+    )
+    _POOL_BWD_ENV = None
 
 
 def _twin_bwd(which: str = "") -> bool:
@@ -400,12 +411,16 @@ def _pool_ext_bwd_row_bytes(c, j, v1=False):
     return 16 * c + 18 * j  # v2: no per-tile p plane (inv_s pre-folded)
 
 
-def _pool_ext_bwd_fixed_bytes(c, j, d, v1=False):
+def _pool_ext_bwd_fixed_bytes(c, j, d, v1=False, v2j=False):
     # qf/kvw/wo/eyec bf16 + eyej fp32 + dm/pacc scratch + dqf/dwv/dwo fp32;
-    # v2's pacc is the full-width [J, C] e^T v accumulator
+    # v2's pacc is the full-width [J, C] e^T v accumulator. v2j replaces
+    # eyej (4·j²) and the dead eyec (2·c²) with a [J, 1] 1/sacc column.
     pacc = 4 * j * d if v1 else 4 * j * c
-    return 10 * c * c + 2 * c * j + 4 * j * j + 2 * j * c + pacc \
+    base = 10 * c * c + 2 * c * j + 4 * j * j + 2 * j * c + pacc \
         + 4 * c * j + 8 * c * c
+    if v2j:
+        base -= 4 * j * j + 2 * c * c - 4 * j
+    return base
 
 
 def _pool_bwd_v1_for(n, c, j, d):
@@ -413,9 +428,12 @@ def _pool_bwd_v1_for(n, c, j, d):
     GECCO_POOL_BWD=v1, or because v2's full-width [J, C] accumulator
     pushes the kernel past the VMEM budget at every tile (the 8k config:
     28.2 MB naive at TN=128 vs the 26 MB budget — v1's [J, D] accumulator
-    stays at 25.7)."""
-    if _POOL_BWD_V1:
+    stays at 25.7; v2j's eyej-free 23.9 MB tally would fit but stays
+    opt-in via GECCO_POOL_BWD=v2j pending on-TPU certification)."""
+    if _POOL_BWD_ENV == "v1":
         return True
+    if _POOL_BWD_ENV in ("v2", "v2j"):
+        return False
     return not _tile_fits(
         n, _pool_ext_bwd_row_bytes(c, j),
         _pool_ext_bwd_fixed_bytes(c, j, d), cap=512,
@@ -1673,19 +1691,170 @@ def _pool_ext_bwd_kernel(
         )  # [C(out), C(in)]
 
 
+def _pool_ext_bwd_kernel_v2j(
+    x_ref, se_ref, be_ref, qf_ref, kvw_ref, wo_ref, isc_ref,
+    gh_ref, macc_ref, sacc_ref,
+    dx_ref, dse_ref, dbe_ref, dqf_ref, dwv_ref, dwo_ref,
+    dm_scratch, pacc_scratch, tacc_scratch,
+    *, num_heads: int, num_inducers: int,
+):
+    """The v2 body above with the [J, 1] softmax-normaliser column
+    ``isc = (1/sacc)^T`` passed as an operand (the transpose is one tiny
+    XLA op per call) instead of synthesised in-kernel via an eye(J)
+    matmul. Mathematics identical to v2; the VMEM tally drops by the
+    4·J² identity + the dead 2·C² eyec, which un-gates the full-width
+    [J, C] pass-0 accumulator at the 8k config (C=768, J=1024)."""
+    pz = pl.program_id(1)
+    ni = pl.program_id(2)
+    nt = pl.num_programs(2)
+    x = x_ref[0]  # [TN, C]
+    c = x.shape[-1]
+    d = c // num_heads
+    i = num_inducers
+
+    first_all = jnp.logical_and(
+        pl.program_id(0) == 0, jnp.logical_and(pz == 0, ni == 0)
+    )
+
+    @pl.when(first_all)
+    def _():
+        dqf_ref[:] = jnp.zeros_like(dqf_ref)
+        dwv_ref[:] = jnp.zeros_like(dwv_ref)
+        dwo_ref[:] = jnp.zeros_like(dwo_ref)
+
+    @pl.when(jnp.logical_and(pz == 0, ni == 0))
+    def _():
+        gh_b = gh_ref[0]
+        dmerged = jax.lax.dot_general(
+            gh_b, wo_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [I, C]
+        inv_colJ = isc_ref[0]  # [J, 1]
+        col_head = jax.lax.broadcasted_iota(jnp.int32, (i, c), 1) // d
+        for h in range(num_heads):
+            dm_scratch[h * i : (h + 1) * i, :] = (
+                jnp.where(col_head == h, dmerged, 0.0)
+                * inv_colJ[h * i : (h + 1) * i, :]
+            ).astype(dm_scratch.dtype)
+        pacc_scratch[:] = jnp.zeros_like(pacc_scratch)
+        tacc_scratch[:] = jnp.zeros_like(tacc_scratch)
+        dse_ref[0] = jnp.zeros_like(dse_ref[0])
+        dbe_ref[0] = jnp.zeros_like(dbe_ref[0])
+
+    # --- shared tile recompute (identical in both passes)
+    se = se_ref[0]
+    y = (x.astype(jnp.float32) * se + be_ref[0]).astype(x.dtype)
+    s = jax.lax.dot_general(
+        y, qf_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [TN, J]
+    e = jnp.exp(jnp.maximum(s - macc_ref[0], -80.0))
+    v = jax.lax.dot_general(
+        y, kvw_ref[c : 2 * c, :], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(y.dtype)  # [TN, C]
+    e_b = e.astype(y.dtype)
+
+    @pl.when(pz == 0)
+    def _():
+        pacc_scratch[:] += jax.lax.dot_general(
+            e_b, v, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [J, C] full-width e^T v
+
+    @pl.when(jnp.logical_and(pz == 0, ni == nt - 1))
+    def _():
+        inv_s = 1.0 / sacc_ref[0]  # [1, J]
+        tacc_scratch[:] = jax.lax.dot_general(
+            jnp.ones((1, c), jnp.float32),
+            dm_scratch[:].astype(jnp.float32) * pacc_scratch[:],
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * inv_s
+        pnorm = pacc_scratch[:] * isc_ref[0]  # [J, C] fp32
+        col_head = jax.lax.broadcasted_iota(jnp.int32, (i, c), 1) // d
+        merged = jnp.zeros((i, c), jnp.float32)
+        for h in range(num_heads):
+            merged += jnp.where(
+                col_head == h, pnorm[h * i : (h + 1) * i, :], 0.0
+            )
+        dwo_ref[:] += jax.lax.dot_general(
+            gh_ref[0], merged.astype(y.dtype), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [C(out), C(in)]
+
+    @pl.when(pz == 1)
+    def _():
+        dp_s = jax.lax.dot_general(
+            v, dm_scratch[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [TN, J] = dp ∘ inv_s columns
+        ds = e * (dp_s - tacc_scratch[:]) * (
+            s - macc_ref[0] > -80.0
+        ).astype(jnp.float32)
+        ds_b = ds.astype(y.dtype)
+        dy = jax.lax.dot_general(
+            ds_b, qf_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [TN, C]
+        dv = jax.lax.dot_general(
+            e_b, dm_scratch[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(y.dtype)  # p @ DM == e @ DMs
+        dy += jax.lax.dot_general(
+            dv, kvw_ref[c : 2 * c, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dx_ref[0] = (dy * se).astype(dx_ref.dtype)
+        dse_ref[0] += jnp.sum(dy * x.astype(jnp.float32), axis=0, keepdims=True)
+        dbe_ref[0] += jnp.sum(dy, axis=0, keepdims=True)
+        dqf_ref[:] += jax.lax.dot_general(
+            y, ds_b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [C, J]
+        dwv_ref[:] += jax.lax.dot_general(
+            dv, y, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [C(out), C(in)]
+
+
 def _pool_ext_bwd_impl(x, se, be, ind2, kvw, wo, g_h0, macc, sacc, num_heads):
     b, n, c = x.shape
     j, d = ind2.shape
     i = j // num_heads
-    v1 = _pool_bwd_v1_for(n, c, j, d)
-    tn = _pick_tile_n(n, row_bytes=_pool_ext_bwd_row_bytes(c, j, v1),
-                      fixed_bytes=_pool_ext_bwd_fixed_bytes(c, j, d, v1), cap=512)
+    mode = (
+        _POOL_BWD_ENV if _POOL_BWD_ENV in ("v2", "v2j")
+        else ("v1" if _pool_bwd_v1_for(n, c, j, d) else "v2")
+    )
+    v1 = mode == "v1"
+    v2j = mode == "v2j"
+    tn = _pick_tile_n(
+        n, row_bytes=_pool_ext_bwd_row_bytes(c, j, v1),
+        fixed_bytes=_pool_ext_bwd_fixed_bytes(c, j, d, v1, v2j), cap=512,
+    )
+    tn = _tn_env("POOL_BWD", tn, n)
     naive = tn * _pool_ext_bwd_row_bytes(c, j, v1) \
-        + _pool_ext_bwd_fixed_bytes(c, j, d, v1)
+        + _pool_ext_bwd_fixed_bytes(c, j, d, v1, v2j)
     qf = _fold_qf(ind2, kvw, num_heads).astype(x.dtype)
+    kernel = {
+        "v1": _pool_ext_bwd_kernel_v1,
+        "v2": _pool_ext_bwd_kernel,
+        "v2j": _pool_ext_bwd_kernel_v2j,
+    }[mode]
+    if v2j:
+        # [J, 1] softmax-normaliser column (the in-kernel alternative is
+        # an eye(J) matmul whose 4·J² VMEM gates v2 off at the 8k config)
+        norm_ops = [jnp.swapaxes(1.0 / sacc, 1, 2)]
+        norm_specs = [
+            pl.BlockSpec((1, j, 1), lambda bi, pz, ni: (bi, 0, 0), memory_space=pltpu.VMEM),
+        ]
+    else:
+        norm_ops = [_eye(j), _eye(c, x.dtype)]
+        norm_specs = [
+            pl.BlockSpec((j, j), lambda bi, pz, ni: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, c), lambda bi, pz, ni: (0, 0), memory_space=pltpu.VMEM),
+        ]
     outs = pl.pallas_call(
         functools.partial(
-            _pool_ext_bwd_kernel_v1 if v1 else _pool_ext_bwd_kernel,
+            kernel,
             num_heads=num_heads,
             num_inducers=i,
         ),
@@ -1697,8 +1866,7 @@ def _pool_ext_bwd_impl(x, se, be, ind2, kvw, wo, g_h0, macc, sacc, num_heads):
             pl.BlockSpec((c, j), lambda bi, pz, ni: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((2 * c, c), lambda bi, pz, ni: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((c, c), lambda bi, pz, ni: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((j, j), lambda bi, pz, ni: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((c, c), lambda bi, pz, ni: (0, 0), memory_space=pltpu.VMEM),
+            *norm_specs,
             pl.BlockSpec((1, i, c), lambda bi, pz, ni: (bi, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, j), lambda bi, pz, ni: (bi, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, j), lambda bi, pz, ni: (bi, 0, 0), memory_space=pltpu.VMEM),
@@ -1736,8 +1904,8 @@ def _pool_ext_bwd_impl(x, se, be, ind2, kvw, wo, g_h0, macc, sacc, num_heads):
         ),
         interpret=_interpret(),
     )(
-        x, se[:, None, :], be[:, None, :], qf, kvw, wo, _eye(j),
-        _eye(c, x.dtype), g_h0, macc, sacc,
+        x, se[:, None, :], be[:, None, :], qf, kvw, wo, *norm_ops,
+        g_h0, macc, sacc,
     )
     dx, dse, dbe, dqf, dwv, dwo = outs
     tie = 0.0 * (dse[0, 0, 0] + dbe[0, 0, 0] + dqf[0, 0] + dwv[0, 0] + dwo[0, 0])

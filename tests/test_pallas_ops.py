@@ -665,6 +665,24 @@ def test_pool_ext_bwd_v1_v2_equivalence(monkeypatch):
     for a, t in zip(jax.tree.leaves(g2), jax.tree.leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(t), rtol=2e-3, atol=2e-4)
 
+    # v2j (1/sacc as a [J, 1] operand instead of the in-kernel eye(J)
+    # matmul) is the same mathematics again; its eyej-free VMEM tally
+    # fits the 8k config where v2's does not, but it stays opt-in via
+    # GECCO_POOL_BWD=v2j until certified on TPU
+    monkeypatch.setattr(fa, "_POOL_BWD_ENV", "v2j")
+    gj = grads()
+    for a, t in zip(jax.tree.leaves(gj), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(t), rtol=1e-5, atol=1e-6)
+    n8, c8, j8, d8 = 8192, 768, 1024, 96
+    assert fa._tile_fits(
+        n8, fa._pool_ext_bwd_row_bytes(c8, j8),
+        fa._pool_ext_bwd_fixed_bytes(c8, j8, d8, v2j=True), cap=512,
+    )
+    assert not fa._tile_fits(
+        n8, fa._pool_ext_bwd_row_bytes(c8, j8),
+        fa._pool_ext_bwd_fixed_bytes(c8, j8, d8), cap=512,
+    )
+
 
 def test_fused_8k_path_uses_tiled_pool(monkeypatch):
     """The big-N fallback in BroadcastingLayer._fused_call routes through
