@@ -7,7 +7,7 @@
 #   A1  v2 at TN=1024   (fewer tile prologues; VMEM naive 12 MB, fits)
 #   A2  v2 at TN=2048   (single tile per pass)
 #   A3  v2j at TN=512   (operand-normaliser body; flagship sanity)
-# 8k shapes (N=8192, C=768, H=8, I=128 -> J=1024, batch 8):
+# 8k shapes (N=8192, C=768, H=8, I=128 -> J=1024, batch 16):
 #   B0  v1 (current 8k default)
 #   B1  v2j TN=128      (un-gated full-width body)
 # Then drifted-magnitude certification of every arm that wins.
@@ -17,7 +17,7 @@ mkdir -p runs
 log() { echo "=== [$(date -u +%H:%M:%S)] $*" | tee -a runs/r5b_queue.log; }
 
 KB="python -u scripts/kernel_bench.py pool --bwd --batch 48 --n-points 2048 --feature-dim 384 --heads 8 --inducers 64"
-KB8="python -u scripts/kernel_bench.py pool --bwd --batch 8 --n-points 8192 --feature-dim 768 --heads 8 --inducers 128"
+KB8="python -u scripts/kernel_bench.py pool --bwd --batch 16 --n-points 8192 --feature-dim 768 --heads 8 --inducers 128"
 
 log "A0 v2 cap512";              timeout 1800 $KB                       > runs/r5b_A0.log 2>&1; log "A0 rc=$?"
 log "A1 v2 tn1024";  GECCO_TN_POOL_BWD=1024 timeout 1800 $KB           > runs/r5b_A1.log 2>&1; log "A1 rc=$?"
