@@ -1816,28 +1816,189 @@ def _pool_ext_bwd_kernel_v2j(
         )  # [C(out), C(in)]
 
 
+def _pool_ext_bwd_kernel_v3(
+    x_ref, se_ref, be_ref, qf_ref, kvw_ref, wo_ref, isc_ref,
+    gh_ref, macc_ref, sacc_ref,
+    dx_ref, dse_ref, dbe_ref, dqf_ref, dwv_ref, dwo_ref,
+    dm_scratch, ety_scratch, tacc_scratch, w2_scratch, w3_scratch,
+    *, num_heads: int, num_inducers: int,
+):
+    """Fold-everything two-pass pool backward (opt-in GECCO_POOL_BWD=v3).
+
+    Same mathematics as v2/v2j; the restructure exploits that the softmax
+    numerator matrix ``e`` only ever enters the backward through products
+    with the tile activations ``y``:
+
+    - pass 0 accumulates ONLY ``eTy = e^T y`` [J, C] (one [TN,J]x[TN,C]
+      MXU matmul per tile — the value projection ``v`` is never computed
+      in the backward at all). At the last pass-0 tile, the pooled values
+      follow as ``pacc = eTy @ Wv^T`` (one C²J matmul per batch element),
+      and two folded operands are built for pass 1:
+      ``W2 = Wv^T DMs^T`` [C, J] (so dp∘inv_s = y @ W2 — replaces the
+      per-tile v recompute + [TN,C]x[C,J] product) and ``W3 = DMs Wv``
+      [J, C] (so the dv-side gradient is one ``e @ W3`` matmul — dv is
+      never materialised).
+    - pass 1 per tile: recompute s/e, dp_s = y @ W2, ds, dy = ds @ qf^T
+      + e @ W3, dqf += y^T ds — five [TN,·]x[·,·] J-width matmuls, no
+      C-width recompute. dwv folds once per batch element at the last
+      tile: dv^T y = DMs^T (e^T y) = DMs^T eTy (eTy reused from pass 0;
+      dv uses the unmasked e, exactly as v2).
+
+    Executed FLOPs drop ~22% vs v2 at flagship shapes and both [TN, C]
+    fp32 value casts leave the tile body; the extra per-batch folds are
+    O(C²J), amortised over N points."""
+    pz = pl.program_id(1)
+    ni = pl.program_id(2)
+    nt = pl.num_programs(2)
+    x = x_ref[0]  # [TN, C]
+    c = x.shape[-1]
+    d = c // num_heads
+    i = num_inducers
+
+    first_all = jnp.logical_and(
+        pl.program_id(0) == 0, jnp.logical_and(pz == 0, ni == 0)
+    )
+
+    @pl.when(first_all)
+    def _():
+        dqf_ref[:] = jnp.zeros_like(dqf_ref)
+        dwv_ref[:] = jnp.zeros_like(dwv_ref)
+        dwo_ref[:] = jnp.zeros_like(dwo_ref)
+
+    @pl.when(jnp.logical_and(pz == 0, ni == 0))
+    def _():
+        gh_b = gh_ref[0]
+        dmerged = jax.lax.dot_general(
+            gh_b, wo_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [I, C]
+        inv_colJ = isc_ref[0]  # [J, 1]
+        col_head = jax.lax.broadcasted_iota(jnp.int32, (i, c), 1) // d
+        for h in range(num_heads):
+            dm_scratch[h * i : (h + 1) * i, :] = (
+                jnp.where(col_head == h, dmerged, 0.0)
+                * inv_colJ[h * i : (h + 1) * i, :]
+            ).astype(dm_scratch.dtype)
+        ety_scratch[:] = jnp.zeros_like(ety_scratch)
+        tacc_scratch[:] = jnp.zeros_like(tacc_scratch)
+        dse_ref[0] = jnp.zeros_like(dse_ref[0])
+        dbe_ref[0] = jnp.zeros_like(dbe_ref[0])
+
+    # --- shared tile recompute (both passes): logits + numerator only
+    se = se_ref[0]
+    y = (x.astype(jnp.float32) * se + be_ref[0]).astype(x.dtype)
+    s = jax.lax.dot_general(
+        y, qf_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [TN, J]
+    e = jnp.exp(jnp.maximum(s - macc_ref[0], -80.0))
+    e_b = e.astype(y.dtype)
+
+    @pl.when(pz == 0)
+    def _():
+        ety_scratch[:] += jax.lax.dot_general(
+            e_b, y, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [J, C] e^T y
+
+    @pl.when(jnp.logical_and(pz == 0, ni == nt - 1))
+    def _():
+        kvw_v = kvw_ref[c : 2 * c, :]  # [C(out a), C(in q)]
+        ety_b = ety_scratch[:].astype(y.dtype)
+        # pooled values: pacc[j, a] = (e^T y)[j, q] Wv[a, q]
+        pacc = jax.lax.dot_general(
+            ety_b, kvw_v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [J, C]
+        inv_s = 1.0 / sacc_ref[0]  # [1, J]
+        tacc_scratch[:] = jax.lax.dot_general(
+            jnp.ones((1, c), jnp.float32),
+            dm_scratch[:].astype(jnp.float32) * pacc,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * inv_s
+        pnorm = pacc * isc_ref[0]  # [J, C] fp32
+        col_head = jax.lax.broadcasted_iota(jnp.int32, (i, c), 1) // d
+        merged = jnp.zeros((i, c), jnp.float32)
+        for h in range(num_heads):
+            merged += jnp.where(
+                col_head == h, pnorm[h * i : (h + 1) * i, :], 0.0
+            )
+        dwo_ref[:] += jax.lax.dot_general(
+            gh_ref[0], merged.astype(y.dtype), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [C(out), C(in)]
+        # folded pass-1 operands: W2[q, j] = Wv[a, q] DMs[j, a];
+        # W3[j, q] = DMs[j, a] Wv[a, q]
+        w2_scratch[:] = jax.lax.dot_general(
+            kvw_v, dm_scratch[:], (((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(w2_scratch.dtype)  # [C, J]
+        w3_scratch[:] = jax.lax.dot_general(
+            dm_scratch[:], kvw_v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(w3_scratch.dtype)  # [J, C]
+
+    @pl.when(pz == 1)
+    def _():
+        dp_s = jax.lax.dot_general(
+            y, w2_scratch[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [TN, J] = (v @ DMs^T) with v folded away
+        ds = e * (dp_s - tacc_scratch[:]) * (
+            s - macc_ref[0] > -80.0
+        ).astype(jnp.float32)
+        ds_b = ds.astype(y.dtype)
+        dy = jax.lax.dot_general(
+            ds_b, qf_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [TN, C]
+        dy += jax.lax.dot_general(
+            e_b, w3_scratch[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (e @ DMs) @ Wv with dv folded away
+        dx_ref[0] = (dy * se).astype(dx_ref.dtype)
+        dse_ref[0] += jnp.sum(dy * x.astype(jnp.float32), axis=0, keepdims=True)
+        dbe_ref[0] += jnp.sum(dy, axis=0, keepdims=True)
+        dqf_ref[:] += jax.lax.dot_general(
+            y, ds_b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [C, J]
+
+    @pl.when(jnp.logical_and(pz == 1, ni == nt - 1))
+    def _():
+        # dwv = dv^T y = DMs^T (e^T y), eTy reused from pass 0
+        dwv_ref[:] += jax.lax.dot_general(
+            dm_scratch[:], ety_scratch[:].astype(y.dtype),
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [C(out), C(in)]
+
+
 def _pool_ext_bwd_impl(x, se, be, ind2, kvw, wo, g_h0, macc, sacc, num_heads):
     b, n, c = x.shape
     j, d = ind2.shape
     i = j // num_heads
     mode = (
-        _POOL_BWD_ENV if _POOL_BWD_ENV in ("v2", "v2j")
+        _POOL_BWD_ENV if _POOL_BWD_ENV in ("v2", "v2j", "v3")
         else ("v1" if _pool_bwd_v1_for(n, c, j, d) else "v2")
     )
     v1 = mode == "v1"
-    v2j = mode == "v2j"
+    v2j = mode in ("v2j", "v3")
+    fixed = _pool_ext_bwd_fixed_bytes(c, j, d, v1, v2j)
+    if mode == "v3":
+        fixed += 4 * j * c  # bf16 W2 [C, J] + W3 [J, C] folded-operand scratch
     tn = _pick_tile_n(
         n, row_bytes=_pool_ext_bwd_row_bytes(c, j, v1),
-        fixed_bytes=_pool_ext_bwd_fixed_bytes(c, j, d, v1, v2j), cap=512,
+        fixed_bytes=fixed, cap=512,
     )
     tn = _tn_env("POOL_BWD", tn, n)
-    naive = tn * _pool_ext_bwd_row_bytes(c, j, v1) \
-        + _pool_ext_bwd_fixed_bytes(c, j, d, v1, v2j)
+    naive = tn * _pool_ext_bwd_row_bytes(c, j, v1) + fixed
     qf = _fold_qf(ind2, kvw, num_heads).astype(x.dtype)
     kernel = {
         "v1": _pool_ext_bwd_kernel_v1,
         "v2": _pool_ext_bwd_kernel,
         "v2j": _pool_ext_bwd_kernel_v2j,
+        "v3": _pool_ext_bwd_kernel_v3,
     }[mode]
     if v2j:
         # [J, 1] softmax-normaliser column (the in-kernel alternative is
@@ -1891,10 +2052,14 @@ def _pool_ext_bwd_impl(x, se, be, ind2, kvw, wo, g_h0, macc, sacc, num_heads):
         ],
         scratch_shapes=[
             pltpu.VMEM((j, c), x.dtype),
-            # v1: per-head pooled values [J, D]; v2: full-width e^T v [J, C]
+            # v1: per-head pooled values [J, D]; v2/v2j: full-width e^T v
+            # [J, C]; v3: the e^T y accumulator (same shape)
             pltpu.VMEM((j, d if v1 else c), jnp.float32),
             pltpu.VMEM((1, j), jnp.float32),
-        ],
+        ] + (
+            [pltpu.VMEM((c, j), x.dtype), pltpu.VMEM((j, c), x.dtype)]
+            if mode == "v3" else []
+        ),
         # the batch axis must be sequential: dqf/dwv/dwo accumulate
         # ACROSS batch elements into constant-index output blocks
         # (zeroed at bi==0) — cross-iteration dependencies along a

@@ -23,6 +23,9 @@ log "A0 v2 cap512";              timeout 1800 $KB                       > runs/r
 log "A1 v2 tn1024";  GECCO_TN_POOL_BWD=1024 timeout 1800 $KB           > runs/r5b_A1.log 2>&1; log "A1 rc=$?"
 log "A2 v2 tn2048";  GECCO_TN_POOL_BWD=2048 timeout 1800 $KB           > runs/r5b_A2.log 2>&1; log "A2 rc=$?"
 log "A3 v2j";        GECCO_POOL_BWD=v2j timeout 1800 $KB               > runs/r5b_A3.log 2>&1; log "A3 rc=$?"
+log "A4 v3";         GECCO_POOL_BWD=v3 timeout 1800 $KB                > runs/r5b_A4.log 2>&1; log "A4 rc=$?"
+log "A5 v3 tn1024";  GECCO_POOL_BWD=v3 GECCO_TN_POOL_BWD=1024 timeout 1800 $KB > runs/r5b_A5.log 2>&1; log "A5 rc=$?"
+log "A6 v3 tn2048";  GECCO_POOL_BWD=v3 GECCO_TN_POOL_BWD=2048 timeout 1800 $KB > runs/r5b_A6.log 2>&1; log "A6 rc=$?"
 log "B0 8k v1";                  timeout 2400 $KB8                     > runs/r5b_B0.log 2>&1; log "B0 rc=$?"
 log "B1 8k v2j";     GECCO_POOL_BWD=v2j timeout 2400 $KB8              > runs/r5b_B1.log 2>&1; log "B1 rc=$?"
 
@@ -37,5 +40,9 @@ log "C3 cert v2j"; GECCO_POOL_BWD=v2j timeout 2400 $CERT \
 log "C4 cert v2j 8k shapes"; GECCO_POOL_BWD=v2j timeout 3600 $CERT \
   --batch 8 --n-points 8192 --width-c 768 --inducers 128 \
   --out runs/r5b_cert_v2j8k.jsonl > runs/r5b_C4.log 2>&1; log "C4 rc=$?"
+log "C5 cert v3"; GECCO_POOL_BWD=v3 timeout 2400 $CERT \
+  --out runs/r5b_cert_v3.jsonl > runs/r5b_C5.log 2>&1; log "C5 rc=$?"
+log "C6 cert v3 tn1024"; GECCO_POOL_BWD=v3 GECCO_TN_POOL_BWD=1024 timeout 2400 $CERT \
+  --out runs/r5b_cert_v3tn1024.jsonl > runs/r5b_C6.log 2>&1; log "C6 rc=$?"
 
 log "queue done"
