@@ -102,6 +102,15 @@ def main():
     )
     ap.add_argument("--save-ema", default="",
                     help="orbax-save the final EMA tree under <dir>/ema")
+    ap.add_argument(
+        "--restore", default="",
+        help="snapshot dir (model/ema/opt trees) to resume from, as saved "
+        "by --snapshot-every",
+    )
+    ap.add_argument(
+        "--start-step", type=int, default=0,
+        help="step counter to resume at (use with --restore)",
+    )
     args = ap.parse_args()
 
     if args.cpu:
@@ -221,12 +230,42 @@ def main():
         print(f"[validate] saved {tag} at step {step_no} -> {path}", flush=True)
         return path
 
+    if args.restore:
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        base = os.path.abspath(args.restore)
+        model = ckptr.restore(
+            os.path.join(base, "model"),
+            jax.tree.map(ocp.utils.to_shape_dtype_struct, model),
+        )
+        ema = ckptr.restore(
+            os.path.join(base, "ema"),
+            jax.tree.map(ocp.utils.to_shape_dtype_struct, ema),
+        )
+        opt_state = ckptr.restore(
+            os.path.join(base, "opt"),
+            jax.tree.map(ocp.utils.to_shape_dtype_struct, opt_state),
+        )
+        print(f"[validate] restored snapshot {base}", flush=True)
+        rng = np.random.default_rng((919, args.start_step))
+
+    # Park the full training set in HBM once and gather batches on-device
+    # from a [batch]-int32 index transfer. The per-step host->device stream
+    # (~10 MB/step with 256^2 images) is not merely slow through the relay:
+    # the axon runtime retains host staging buffers per transfer, which
+    # OOM-killed the original run of this script at ~130 GB RSS after
+    # ~10.7k steps (round-5 queue, stage 3).
+    tr_pts_d = jax.device_put(tr_pts)
+    tr_img_d = jax.device_put(tr_img)
+    tr_K_d = jax.device_put(tr_K)
+
     key = jax.random.PRNGKey(5)
     order = np.arange(args.n_train)
     t0 = time.perf_counter()
     losses = []
     snaps = []
-    for step in range(args.steps):
+    for step in range(args.start_step, args.steps):
         if step % (args.n_train // args.batch) == 0:
             rng.shuffle(order)
         sel = order[
@@ -235,8 +274,12 @@ def main():
         ]
         if len(sel) < args.batch:
             sel = order[: args.batch]
-        pts = jnp.asarray(tr_pts[sel])
-        ctx = Context3d(image=jnp.asarray(tr_img[sel]), K=jnp.asarray(tr_K[sel]))
+        sel_d = jnp.asarray(sel.astype(np.int32))
+        pts = jnp.take(tr_pts_d, sel_d, axis=0)
+        ctx = Context3d(
+            image=jnp.take(tr_img_d, sel_d, axis=0),
+            K=jnp.take(tr_K_d, sel_d, axis=0),
+        )
         key, sk = jax.random.split(key)
         loss, model, ema, opt_state = step_fn(model, ema, opt_state, pts, ctx, sk)
         if step % 250 == 0:
@@ -252,7 +295,7 @@ def main():
                 print(f"[validate] ABORT: non-finite loss at step {step}; "
                       f"pre-divergence snapshots: {snaps[-2:]}", flush=True)
                 raise SystemExit(3)
-            rate = (step + 1) / (time.perf_counter() - t0)
+            rate = (step + 1 - args.start_step) / (time.perf_counter() - t0)
             print(f"step {step} loss {lv:.4f} ({rate:.1f} it/s)", flush=True)
         if args.snapshot_every and (step + 1) % args.snapshot_every == 0:
             snaps.append(save_state(f"snap-{step + 1}", step + 1))
