@@ -84,14 +84,23 @@ _SOFTMAX_R4 = os.environ.get("GECCO_SOFTMAX_R4") == "1"
 # which is what gates v2 off at the 8k config. Unset: v2 where it fits,
 # else v1 (v2j stays opt-in until certified on TPU). Read once at import
 # (see _SOFTMAX_R4).
-_POOL_BWD_ENV = os.environ.get("GECCO_POOL_BWD") or None
-if _POOL_BWD_ENV not in (None, "v1", "v2", "v2j"):
-    print(
-        f"[gecco_tpu] ignoring invalid GECCO_POOL_BWD={_POOL_BWD_ENV!r} "
-        "(expected v1|v2|v2j); using the shape-gated default",
-        file=sys.stderr,
-    )
-    _POOL_BWD_ENV = None
+_POOL_BWD_MODES = (None, "v1", "v2", "v2j", "v3")
+
+
+def _parse_pool_bwd_env(value):
+    value = value or None
+    if value not in _POOL_BWD_MODES:
+        print(
+            f"[gecco_tpu] ignoring invalid GECCO_POOL_BWD={value!r} "
+            f"(expected {'|'.join(m for m in _POOL_BWD_MODES if m)}); "
+            "using the shape-gated default",
+            file=sys.stderr,
+        )
+        return None
+    return value
+
+
+_POOL_BWD_ENV = _parse_pool_bwd_env(os.environ.get("GECCO_POOL_BWD"))
 
 
 def _twin_bwd(which: str = "") -> bool:

@@ -678,6 +678,14 @@ def test_pool_ext_bwd_v1_v2_equivalence(monkeypatch):
     # operands, v never materialised) is the same mathematics with one
     # extra bf16 rounding on the folded operands — gradients agree to
     # bf16-product tolerance with both earlier bodies
+    # every kernel body reachable via the monkeypatched module global must
+    # also survive the env-string parse (round-5 regression: "v3" was
+    # missing from the accepted set, so the bench arms silently ran v2)
+    for m in ("v1", "v2", "v2j", "v3"):
+        assert fa._parse_pool_bwd_env(m) == m
+    assert fa._parse_pool_bwd_env("") is None
+    assert fa._parse_pool_bwd_env("bogus") is None
+
     monkeypatch.setattr(fa, "_POOL_BWD_ENV", "v3")
     g3 = grads()
     for a, t in zip(jax.tree.leaves(g3), jax.tree.leaves(g2)):
