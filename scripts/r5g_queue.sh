@@ -23,8 +23,11 @@ rc1=$?
 log "stage 1 rc=$rc1"
 
 if [ "$rc1" -eq 0 ]; then
+  # the segment must run the EXACT candidate shipping config (r4 lesson:
+  # tile size is a live variable) — v3 body at the TN=1024 tile the new
+  # default cap picks at flagship shapes
   log "stage 2a: v3 segment 10k->13k"
-  GECCO_POOL_BWD=v3 timeout 2400 python -u scripts/validate_flagship.py \
+  GECCO_POOL_BWD=v3 GECCO_TN_POOL_BWD=1024 timeout 2400 python -u scripts/validate_flagship.py \
     --steps 13000 --start-step 10000 --eval-every 1500 \
     --restore runs/r5f_flagship.jsonl.snapshots/snap-10000 \
     --snapshot-every 100000 --lr-schedule cosine \
