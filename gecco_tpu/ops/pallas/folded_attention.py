@@ -76,14 +76,20 @@ _SOFTMAX_R4 = os.environ.get("GECCO_SOFTMAX_R4") == "1"
 
 # GECCO_POOL_BWD forces the pool-ext backward body: "v1" is the round-4
 # two-pass kernel (per-head lane-sliced e^T v accumulators + dp
-# materialised in both passes), "v2" the round-5 default (one full-width
+# materialised in both passes), "v2" the mid-round-5 body (one full-width
 # [J, C] e^T v matmul in pass 0, 1/sacc pre-folded into the placement
 # matrix — same math, fewer VPU passes), "v2j" the v2 body taking 1/sacc
 # as a [J, 1] column operand transposed in XLA instead of synthesising it
 # with an eye(J) matmul — drops the 4·J² identity from the VMEM tally,
-# which is what gates v2 off at the 8k config. Unset: v2 where it fits,
-# else v1 (v2j stays opt-in until certified on TPU). Read once at import
-# (see _SOFTMAX_R4).
+# "v3" the fold-everything body (e^T y accumulator; the value projection
+# is never materialised — ~22% fewer executed FLOPs). Unset: v3 where its
+# tally admits a tile, else v1 — measured r5e arms: v3 1.80 vs v2 2.30
+# ms/layer flagship (TN=1024), 9.25 vs v1's 12.29 at the 8k shapes
+# (TN=256); v2j thrashes at 8k (53.6 — its full-width pass-0 accumulator
+# at TN=128 tiles). The v3 default passed the drifted-magnitude certifier
+# AND a 3k-step trained-magnitude training segment (runs/r5f_*; the
+# kernel-change policy in CLAUDE.md). Read once at import (see
+# _SOFTMAX_R4).
 _POOL_BWD_MODES = (None, "v1", "v2", "v2j", "v3")
 
 
@@ -432,21 +438,30 @@ def _pool_ext_bwd_fixed_bytes(c, j, d, v1=False, v2j=False):
     return base
 
 
-def _pool_bwd_v1_for(n, c, j, d):
-    """Whether the v1 kernel body serves this shape: forced by
-    GECCO_POOL_BWD=v1, or because v2's full-width [J, C] accumulator
-    pushes the kernel past the VMEM budget at every tile (the 8k config:
-    28.2 MB naive at TN=128 vs the 26 MB budget — v1's [J, D] accumulator
-    stays at 25.7; v2j's eyej-free 23.9 MB tally would fit but stays
-    opt-in via GECCO_POOL_BWD=v2j pending on-TPU certification)."""
-    if _POOL_BWD_ENV == "v1":
-        return True
-    if _POOL_BWD_ENV in ("v2", "v2j"):
-        return False
-    return not _tile_fits(
-        n, _pool_ext_bwd_row_bytes(c, j),
-        _pool_ext_bwd_fixed_bytes(c, j, d), cap=512,
-    )
+def _pool_bwd_mode(n, c, j, d):
+    """Which pool-ext backward body serves this shape. GECCO_POOL_BWD
+    forces a body; unset, the default is v3 wherever its VMEM tally
+    admits a tile (v3's fixed bytes are strictly below v2's — the 4·J·C
+    folded operands replace the 4·J² identity and the dead 2·C² eyec —
+    so v3 fits everywhere v2 did, including the 8k config that gated v2
+    off), else the round-4 v1 body whose [J, D] accumulator is the
+    smallest. Measured (r5e arms, batch-48 flagship / batch-16 8k):
+    v3 1.80 vs v2 2.30 ms/layer, 9.25 vs v1 12.29 — and certified per
+    the kernel-change policy (drifted-magnitude certifier + 3k-step
+    trained-magnitude training segment, runs/r5f_*)."""
+    if _POOL_BWD_ENV:
+        return _POOL_BWD_ENV
+    fixed_v3 = _pool_ext_bwd_fixed_bytes(c, j, d, v2j=True) + 4 * j * c
+    if _tile_fits(n, _pool_ext_bwd_row_bytes(c, j), fixed_v3,
+                  cap=_POOL_BWD_V3_TILE_CAP):
+        return "v3"
+    return "v1"
+
+
+# v3 profits from larger tiles (fewer duplicated pass-0/pass-1 prologues:
+# 1.86 ms/layer at TN=512 -> 1.80 at TN=1024, r5e A4/A5); the budget
+# chooser still shrinks the tile wherever the naive tally demands it.
+_POOL_BWD_V3_TILE_CAP = 1024
 
 
 def _unpool_row_bytes(c, j):
@@ -1987,10 +2002,7 @@ def _pool_ext_bwd_impl(x, se, be, ind2, kvw, wo, g_h0, macc, sacc, num_heads):
     b, n, c = x.shape
     j, d = ind2.shape
     i = j // num_heads
-    mode = (
-        _POOL_BWD_ENV if _POOL_BWD_ENV in ("v2", "v2j", "v3")
-        else ("v1" if _pool_bwd_v1_for(n, c, j, d) else "v2")
-    )
+    mode = _pool_bwd_mode(n, c, j, d)
     v1 = mode == "v1"
     v2j = mode in ("v2j", "v3")
     fixed = _pool_ext_bwd_fixed_bytes(c, j, d, v1, v2j)
@@ -1998,7 +2010,8 @@ def _pool_ext_bwd_impl(x, se, be, ind2, kvw, wo, g_h0, macc, sacc, num_heads):
         fixed += 4 * j * c  # bf16 W2 [C, J] + W3 [J, C] folded-operand scratch
     tn = _pick_tile_n(
         n, row_bytes=_pool_ext_bwd_row_bytes(c, j, v1),
-        fixed_bytes=fixed, cap=512,
+        fixed_bytes=fixed,
+        cap=_POOL_BWD_V3_TILE_CAP if mode == "v3" else 512,
     )
     tn = _tn_env("POOL_BWD", tn, n)
     naive = tn * _pool_ext_bwd_row_bytes(c, j, v1) + fixed
@@ -2180,10 +2193,14 @@ def _pool_ext_bwd(num_heads, res, g):
     x, se, be, ind2, kvw, wo, macc, sacc = res
     n, c = x.shape[1], x.shape[2]
     j, d = ind2.shape
-    v1 = _pool_bwd_v1_for(n, c, j, d)
+    mode = _pool_bwd_mode(n, c, j, d)
+    v1 = mode == "v1"
+    fixed = _pool_ext_bwd_fixed_bytes(c, j, d, v1, mode in ("v2j", "v3"))
+    if mode == "v3":
+        fixed += 4 * j * c
     fits = _tile_fits(
-        n, _pool_ext_bwd_row_bytes(c, j, v1),
-        _pool_ext_bwd_fixed_bytes(c, j, d, v1), cap=512,
+        n, _pool_ext_bwd_row_bytes(c, j, v1), fixed,
+        cap=_POOL_BWD_V3_TILE_CAP if mode == "v3" else 512,
     )
     if _twin_bwd("pool") or not fits:
         _, vjp = jax.vjp(

@@ -633,12 +633,17 @@ def test_pool_ext_bwd_v1_v2_equivalence(monkeypatch):
     full-width e^T v matmul in pass 0, 1/sacc pre-folded into the
     placement matrix) is associativity-only vs the round-4 v1 body:
     gradients agree tightly on the same operands. The shape gate
-    (_pool_bwd_v1_for) keeps the 8k config (C=768/J=1024) on v1, whose
-    [J, D] accumulator fits the VMEM budget where v2's [J, C] does not."""
+    (_pool_bwd_mode) serves v3 wherever its tally admits a tile — its
+    4·J·C folded operands cost less VMEM than the 4·J² identity + 2·C²
+    eyec they replace, so v3 covers both the flagship AND the 8k shapes
+    (measured faster at both, r5e arms); v1 remains the fallback for
+    shapes whose v3 tally fits no tile."""
     from gecco_tpu.ops.pallas import folded_attention as fa
 
-    assert not fa._pool_bwd_v1_for(2048, 384, 512, 48)  # flagship -> v2
-    assert fa._pool_bwd_v1_for(8192, 768, 1024, 48)  # 8k -> v1
+    assert fa._pool_bwd_mode(2048, 384, 512, 48) == "v3"  # flagship
+    assert fa._pool_bwd_mode(8192, 768, 1024, 96) == "v3"  # 8k (v2 gated off)
+    # a width where even v3's fixed operands blow the budget -> v1
+    assert fa._pool_bwd_mode(65536, 3072, 4096, 384) == "v1"
 
     c, heads, i, b, n = 96, 4, 16, 2, 384  # 3 x 128 tiles
     key = iter(jax.random.split(jax.random.PRNGKey(3), 10))
@@ -658,9 +663,9 @@ def test_pool_ext_bwd_v1_v2_equivalence(monkeypatch):
             argnums=(0, 1, 2, 3, 4, 5),
         )(*args)
 
-    monkeypatch.setattr(fa, "_pool_bwd_v1_for", lambda *a: False)
+    monkeypatch.setattr(fa, "_POOL_BWD_ENV", "v2")
     g2 = grads()
-    monkeypatch.setattr(fa, "_pool_bwd_v1_for", lambda *a: True)
+    monkeypatch.setattr(fa, "_POOL_BWD_ENV", "v1")
     g1 = grads()
     for a, t in zip(jax.tree.leaves(g2), jax.tree.leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(t), rtol=2e-3, atol=2e-4)
